@@ -1,0 +1,94 @@
+"""Bootstrap deterministic image tables as committed fragment/manifest roots.
+
+Mirrors moonlink's Parquet bulk load (``LoadFiles``,
+``/root/reference/src/moonlink/src/storage/mooncake_table/
+batch_ingestion.rs:21-88``): data lands as many deliberately small
+fragments (default 256 rows) so compaction has real work, and the
+manifest is committed once at the end.
+
+Generation is itself a Ray Data pipeline (one task per fragment) so a
+bench-scale table (100k+ wide rows) is built in parallel; results are
+cached on disk keyed by (n_rows, seed) so repeated test/bench runs skip
+synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import synth
+from .fragments import write_fragment
+from .manifest import FragmentMeta, commit, init_table, load
+
+_RAY_THRESHOLD = 8_000  # below this, driver-side generation is faster than task overhead
+
+
+def _gen_and_write(root: str, part: int, start: int, stop: int, seed: int) -> FragmentMeta:
+    table = synth.build_rows(range(start, stop), seed=seed)
+    return write_fragment(root, table, f"frag-base-{part:06d}", lineage=[], max_lsn=0)
+
+
+def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 256,
+                           seed: int = synth.SEED, force: bool = False) -> None:
+    """Create (or reuse) a committed images table at ``root``."""
+    fingerprint = {"kind": "bootstrap", "n_rows": n_rows, "seed": seed,
+                   "rows_per_fragment": rows_per_fragment}
+    hint = os.path.join(root, "version-hint.text")
+    if not force and os.path.exists(hint):
+        try:
+            snap = load(root, 1)
+            if snap.job == fingerprint:
+                return  # cached
+        except Exception:
+            pass
+    init_table(root)
+    parts = []
+    start = 0
+    while start < n_rows:
+        parts.append((len(parts), start, min(start + rows_per_fragment, n_rows)))
+        start += rows_per_fragment
+
+    import ray
+    if n_rows >= _RAY_THRESHOLD and ray.is_initialized():
+        import ray.data as rd
+        items = [{"part": p, "start": s, "stop": e} for p, s, e in parts]
+
+        def write_part(batch: pa.Table) -> pa.Table:
+            metas = []
+            for row in batch.to_pylist():
+                m = _gen_and_write(root, row["part"], row["start"], row["stop"], seed)
+                metas.append(json.dumps(asdict(m)))
+            return pa.table({"meta": pa.array(metas, pa.string())})
+
+        ds = rd.from_items(items, override_num_blocks=len(items))
+        meta_rows = ds.map_batches(write_part, batch_size=None,
+                                   batch_format="pyarrow").take_all()
+        metas = [FragmentMeta.from_dict(json.loads(r["meta"])) for r in meta_rows]
+    else:
+        metas = [_gen_and_write(root, p, s, e, seed) for p, s, e in parts]
+
+    metas.sort(key=lambda m: m.fragment_id)
+    commit(root, metas, max_lsn=0, job=fingerprint, expected_parent=0)
+
+
+def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
+                      seed: int = synth.SEED + 1, start_lsn: int = 1_000,
+                      force: bool = False) -> str:
+    """Materialize a deterministic CDC batch as one Parquet file (cached)."""
+    marker = path + ".fp.json"
+    fingerprint = {"n_base": n_base, "n_ops": n_ops, "seed": seed, "start_lsn": start_lsn}
+    if not force and os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == fingerprint:
+                return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    table = synth.build_cdc(n_base, n_ops, seed=seed, start_lsn=start_lsn)
+    pq.write_table(table, path, row_group_size=4096)
+    with open(marker, "w") as f:
+        json.dump(fingerprint, f)
+    return path

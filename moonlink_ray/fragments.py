@@ -1,0 +1,105 @@
+"""Fragment + deletion-vector sidecar IO.
+
+Fragments are immutable Parquet files named ``frag-{run}-{part}-{n}`` so
+that a resumed run regenerates *identical* file names (idempotent
+writes; moonlink gets the same property from UUID files + atomic
+catalog commit, ``iceberg_table_syncer.rs:176-310``). Stats are
+per-fragment min/max zone maps on (image_id, phash, w, h) — the batch
+replacement for moonlink's persisted hash file indices
+(``src/moonlink/src/storage/index/persisted_bucket_hash_map.rs``): MERGE
+prunes fragments by key range instead of probing an index.
+
+Deletion vectors are sorted row positions stored as a tiny Parquet
+sidecar (pos:int64), copy-on-write: a commit never mutates an existing
+DV file, it writes a new cumulative one (mirrors the cumulative DV
+puffin per commit, ``iceberg_table_syncer.rs:313-348``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .manifest import FragmentMeta
+
+STATS_COLUMNS = ("image_id", "phash", "w", "h")
+# Row-group size is tuned for wide binary rows: ~256 rows * ~3-60 KB ≈
+# 1-16 MiB per row group, so a column-pruned read of just image_id never
+# drags image bytes through memory.
+ROW_GROUP_SIZE = 256
+
+
+def _col_stats(table: pa.Table) -> dict[str, list]:
+    stats: dict[str, list] = {}
+    for col in STATS_COLUMNS:
+        if col not in table.column_names or table.num_rows == 0:
+            continue
+        mm = pc.min_max(table[col])
+        stats[col] = [mm["min"].as_py(), mm["max"].as_py()]
+    return stats
+
+
+def fragment_path(fragment_id: str) -> str:
+    return os.path.join("fragments", f"{fragment_id}.parquet")
+
+
+def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
+                   lineage: list[str] | None = None, max_lsn: int = 0) -> FragmentMeta:
+    """Write one immutable fragment and return its manifest entry."""
+    rel = fragment_path(fragment_id)
+    path = os.path.join(root, rel)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=ROW_GROUP_SIZE, compression="snappy")
+    os.replace(tmp, path)
+    return FragmentMeta(
+        fragment_id=fragment_id,
+        path=rel,
+        rows=table.num_rows,
+        size_bytes=os.path.getsize(path),
+        stats=_col_stats(table),
+        dv=None,
+        lineage=sorted(lineage or []),
+        max_lsn=max_lsn,
+    )
+
+
+def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = None,
+                  *, with_pos: bool = False, apply_dv: bool = True) -> pa.Table:
+    """Read one fragment, optionally attaching ``_pos`` (row position in
+    the fragment file) and filtering out DV-deleted rows."""
+    table = pq.read_table(os.path.join(root, meta.path), columns=columns)
+    if with_pos or (apply_dv and meta.dv):
+        pos = np.arange(table.num_rows, dtype=np.int64)
+        if apply_dv and meta.dv:
+            dead = read_dv(root, meta.dv)
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[dead] = False
+            table = table.filter(pa.array(mask))
+            pos = pos[mask]
+        if with_pos:
+            table = table.append_column("_pos", pa.array(pos, type=pa.int64()))
+    return table
+
+
+def dv_path(dv_id: str) -> str:
+    return os.path.join("dv", f"{dv_id}.parquet")
+
+
+def write_dv(root: str, dv_id: str, positions: np.ndarray) -> dict:
+    """Write a cumulative deletion vector sidecar; returns its manifest ref."""
+    positions = np.unique(np.asarray(positions, dtype=np.int64))
+    rel = dv_path(dv_id)
+    path = os.path.join(root, rel)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"pos": positions}), tmp, compression="snappy")
+    os.replace(tmp, path)
+    return {"path": rel, "count": int(len(positions))}
+
+
+def read_dv(root: str, dv_ref: dict) -> np.ndarray:
+    t = pq.read_table(os.path.join(root, dv_ref["path"]), columns=["pos"])
+    return t["pos"].to_numpy()

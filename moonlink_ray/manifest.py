@@ -1,0 +1,201 @@
+"""Versioned manifest store: the durable table state.
+
+A table root is a directory:
+
+    root/
+      version-hint.text        # current snapshot version (atomic pointer)
+      snapshots/v{N}.json      # immutable snapshot descriptors
+      fragments/*.parquet      # immutable data fragments
+      dv/*.parquet             # immutable deletion-vector sidecars (pos:int64)
+      lineage/{run_id}/*.json  # per-partition checkpoint sidecars
+
+Moonlink analogs (cited into /root/reference):
+- snapshot chain + pointer swap = Iceberg snapshots committed through an
+  etag-conditional write of ``version-hint.text``
+  (``src/moonlink/src/storage/iceberg/file_catalog.rs:695-770``);
+- ``Snapshot.fragments`` = ``disk_files: HashMap<FileRef, DiskFileEntry>``
+  (``src/moonlink/src/storage/mooncake_table.rs:156-179``);
+- ``max_lsn`` = the ``flush-lsn`` snapshot property
+  (``src/moonlink/src/storage/iceberg/iceberg_table_syncer.rs:563-585``);
+- per-fragment min/max stats replace moonlink's persisted hash file
+  indices (zone maps prune MERGE reads instead of point lookups);
+- lineage sidecars replace the WAL for resumability
+  (``src/moonlink/src/storage/wal.rs``): a killed run resumes by
+  skipping partitions whose sidecar exists.
+
+Snapshot isolation: fragments, DVs and snapshot files are immutable; a
+commit writes a brand-new snapshot file then atomically swaps the
+pointer, so a reader holding version S sees byte-identical scans before
+and after any later commit (the north rule's isolation guarantee).
+
+Only the single driver process commits (mirrors moonlink's single-writer
+event loop, ``src/moonlink/src/table_handler.rs:124-214``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+VERSION_HINT = "version-hint.text"
+
+
+@dataclass
+class FragmentMeta:
+    fragment_id: str
+    path: str                      # relative to table root
+    rows: int
+    size_bytes: int
+    stats: dict[str, list]         # col -> [min, max] zone map
+    dv: dict[str, Any] | None = None   # {"path": ..., "count": ...}
+    lineage: list[str] = field(default_factory=list)  # source fragment ids
+    max_lsn: int = 0
+
+    @property
+    def live_rows(self) -> int:
+        return self.rows - (self.dv["count"] if self.dv else 0)
+
+    @staticmethod
+    def from_dict(d: dict) -> "FragmentMeta":
+        return FragmentMeta(**d)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    max_lsn: int
+    fragments: list[FragmentMeta]
+    job: dict[str, Any] = field(default_factory=dict)  # provenance of the commit
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        d["fragments"] = [FragmentMeta.from_dict(f) for f in d["fragments"]]
+        return Snapshot(**d)
+
+    def frag_by_id(self) -> dict[str, FragmentMeta]:
+        return {f.fragment_id: f for f in self.fragments}
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.live_rows for f in self.fragments)
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def init_table(root: str) -> Snapshot:
+    """Create an empty table at ``root`` with snapshot v0."""
+    for sub in ("snapshots", "fragments", "dv", "lineage"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    snap = Snapshot(version=0, parent=None, max_lsn=-1, fragments=[],
+                    job={"kind": "init"})
+    _atomic_write(os.path.join(root, "snapshots", "v0.json"), snap.to_json())
+    _atomic_write(os.path.join(root, VERSION_HINT), "0")
+    return snap
+
+
+def current_version(root: str) -> int:
+    with open(os.path.join(root, VERSION_HINT)) as f:
+        return int(f.read().strip())
+
+
+def load(root: str, version: int | None = None) -> Snapshot:
+    if version is None:
+        version = current_version(root)
+    with open(os.path.join(root, "snapshots", f"v{version}.json")) as f:
+        return Snapshot.from_json(f.read())
+
+
+def list_versions(root: str) -> list[int]:
+    out = []
+    for name in os.listdir(os.path.join(root, "snapshots")):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
+           job: dict[str, Any], expected_parent: int | None = None) -> Snapshot:
+    """Write snapshot v{N+1} and atomically swap the pointer.
+
+    ``expected_parent`` implements the conditional-put check of
+    moonlink's file catalog (``file_catalog.rs:259-280``): the commit
+    fails rather than clobbering a concurrent writer's snapshot.
+    """
+    cur = current_version(root)
+    if expected_parent is not None and cur != expected_parent:
+        raise CommitConflict(f"expected parent v{expected_parent}, found v{cur}")
+    new_version = cur + 1
+    snap = Snapshot(version=new_version, parent=cur, max_lsn=max_lsn,
+                    fragments=fragments, job=job)
+    snap_path = os.path.join(root, "snapshots", f"v{new_version}.json")
+    if os.path.exists(snap_path):
+        raise CommitConflict(f"snapshot v{new_version} already exists")
+    _atomic_write(snap_path, snap.to_json())
+    _atomic_write(os.path.join(root, VERSION_HINT), str(new_version))
+    return snap
+
+
+# ---------------------------------------------------------------- lineage
+
+def lineage_dir(root: str, run_id: str) -> str:
+    return os.path.join(root, "lineage", run_id)
+
+
+def write_lineage(root: str, run_id: str, part_key: str, record: dict) -> None:
+    """Atomically checkpoint one finished partition of a run.
+
+    The record carries {fragments: [FragmentMeta dicts], dvs: [...],
+    rows, max_lsn, ...} — the moonlink analog of a WAL entry + flush-LSN
+    bookkeeping (``mooncake_table.rs:459-465``), but at partition (not
+    row) granularity, which is what batch resumability needs.
+    """
+    d = lineage_dir(root, run_id)
+    os.makedirs(d, exist_ok=True)
+    _atomic_write(os.path.join(d, f"{part_key}.json"), json.dumps(record, sort_keys=True))
+
+
+def read_lineage(root: str, run_id: str) -> dict[str, dict]:
+    """Return {part_key: record} for every completed partition of a run."""
+    d = lineage_dir(root, run_id)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json") or ".tmp-" in name:
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                out[name[:-5]] = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a partially-written sidecar (shouldn't happen: writes are
+            # atomic) is treated as not-done
+            continue
+    return out
+
+
+def clear_lineage(root: str, run_id: str) -> None:
+    d = lineage_dir(root, run_id)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            os.unlink(os.path.join(d, name))
+        os.rmdir(d)

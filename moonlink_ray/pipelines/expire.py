@@ -1,0 +1,124 @@
+"""Snapshot expire + orphan GC.
+
+Moonlink never implemented snapshot expiry (SURVEY.md §2.5 M8: grep
+finds only test comments; old files are removed from the *current*
+snapshot via ``set_data_files_to_remove``,
+``/root/reference/src/moonlink/src/storage/iceberg/
+iceberg_table_syncer.rs:288-302``, and local cache files GC'd,
+``table_handler.rs:188-200``, while historical snapshots accumulate).
+We implement it per the north rule:
+
+- retain the last K snapshot versions (always including the current);
+- compute the set of fragment/DV files reachable from any retained
+  snapshot (pure manifest metadata — a driver-side reachability pass
+  over the fragment DAG);
+- delete unreachable files, including orphans left by aborted runs
+  (fragments written but never committed), plus stale lineage sidecar
+  dirs and expired snapshot descriptors.
+
+Deletion fans out through a small ``map_batches`` over the file list
+when the list is large (on an object store each delete is a round
+trip); tiny lists are deleted inline. Must only run while no
+maintenance run is in flight — the single-writer driver guarantees
+that, mirroring moonlink's single event loop per table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..manifest import Snapshot, lineage_dir, list_versions, load
+
+_RAY_DELETE_THRESHOLD = 512
+
+
+def _reachable(root: str, versions: list[int]) -> tuple[set[str], set[str]]:
+    """(reachable rel paths, retained run_ids) over the given versions."""
+    paths: set[str] = set()
+    run_ids: set[str] = set()
+    for v in versions:
+        snap = load(root, v)
+        if rid := snap.job.get("run_id"):
+            run_ids.add(rid)
+        for f in snap.fragments:
+            paths.add(f.path)
+            if f.dv:
+                paths.add(f.dv["path"])
+    return paths, run_ids
+
+
+def _delete_files(root: str, rel_paths: list[str]) -> int:
+    if len(rel_paths) >= _RAY_DELETE_THRESHOLD:
+        import ray.data as rd
+
+        def rm(batch: pa.Table) -> pa.Table:
+            n = 0
+            for p in batch["path"].to_pylist():
+                try:
+                    os.unlink(os.path.join(root, p))
+                    n += 1
+                except FileNotFoundError:
+                    pass
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        ds = rd.from_items([{"path": p} for p in rel_paths])
+        return sum(r["n"] for r in
+                   ds.map_batches(rm, batch_format="pyarrow").take_all())
+    n = 0
+    for p in rel_paths:
+        try:
+            os.unlink(os.path.join(root, p))
+            n += 1
+        except FileNotFoundError:
+            pass
+    return n
+
+
+def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict:
+    """Expire old snapshots; returns a report dict."""
+    versions = list_versions(root)
+    retained = versions[-max(1, keep_last):]
+    expired = [v for v in versions if v not in retained]
+    reachable, retained_runs = _reachable(root, retained)
+
+    expired_paths, _ = _reachable(root, expired) if expired else (set(), set())
+    candidates: list[str] = []
+    for sub in ("fragments", "dv"):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            rel = os.path.join(sub, name)
+            if rel in reachable:
+                continue
+            if name.endswith(".tmp") or ".tmp-" in name:
+                candidates.append(rel)  # half-written temp: always orphan
+            elif clean_orphans or rel in expired_paths:
+                candidates.append(rel)
+
+    deleted = _delete_files(root, candidates)
+
+    for v in expired:
+        try:
+            os.unlink(os.path.join(root, "snapshots", f"v{v}.json"))
+        except FileNotFoundError:
+            pass
+
+    # stale lineage: runs not referenced by any retained snapshot are
+    # either committed-and-expired or aborted; their sidecars are dead.
+    lroot = os.path.join(root, "lineage")
+    removed_lineage = []
+    if clean_orphans and os.path.isdir(lroot):
+        for rid in os.listdir(lroot):
+            if rid in retained_runs:
+                continue
+            d = lineage_dir(root, rid)
+            for name in os.listdir(d):
+                os.unlink(os.path.join(d, name))
+            os.rmdir(d)
+            removed_lineage.append(rid)
+
+    return {"retained_versions": retained, "expired_versions": expired,
+            "deleted_files": deleted, "removed_lineage_runs": removed_lineage}

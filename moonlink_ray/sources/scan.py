@@ -1,0 +1,72 @@
+"""Snapshot scan: manifest version -> ray.data.Dataset.
+
+The batch analog of moonlink's union read path (``scan_table(lsn)`` ->
+file list + deletion vectors, ``/root/reference/src/moonlink/src/
+union_read/read_state_manager.rs:90-164`` and ``moonlink_datafusion/src/
+table_provider.rs:99-140``): resolve the snapshot at a version, read
+exactly those immutable fragments, subtract each fragment's deletion
+vector. Because fragments/DVs are immutable and commits swap a pointer,
+a scan at version S is byte-identical before and after any maintenance
+commit (snapshot isolation).
+
+One read task per fragment; ``columns=`` prunes at the Parquet read so
+e.g. MERGE's key lookup never drags image bytes off disk.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..fragments import read_fragment
+from ..manifest import FragmentMeta, Snapshot, load
+
+
+def _reader(root: str, columns: list[str] | None, with_pos: bool, with_frag: bool):
+    def read(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            meta = FragmentMeta.from_dict(json.loads(row["meta"]))
+            t = read_fragment(root, meta, columns=columns, with_pos=with_pos)
+            if with_frag:
+                t = t.append_column(
+                    "_frag", pa.array([meta.fragment_id] * t.num_rows, pa.string()))
+            out.append(t)
+        return pa.concat_tables(out) if out else batch.slice(0, 0)
+    return read
+
+
+def scan(root: str, version: int | None = None, columns: list[str] | None = None,
+         *, with_pos: bool = False, with_frag: bool = False,
+         fragments: list[FragmentMeta] | None = None):
+    """Dataset over the live rows of a snapshot (or an explicit fragment list)."""
+    import ray.data as rd
+
+    if fragments is None:
+        fragments = load(root, version).fragments
+    metas = [{"meta": json.dumps(asdict(f))} for f in fragments]
+    if not metas:
+        return rd.from_items([])
+    ds = rd.from_items(metas, override_num_blocks=len(metas))
+    return ds.map_batches(_reader(root, columns, with_pos, with_frag),
+                          batch_size=1, batch_format="pyarrow")
+
+
+def scan_arrow(root: str, version: int | None = None,
+               columns: list[str] | None = None, *, sort_by: str | None = None,
+               snapshot: Snapshot | None = None) -> pa.Table:
+    """Driver-side scan into one Arrow table (tests/oracles; small data only)."""
+    snap = snapshot if snapshot is not None else load(root, version)
+    tables = [read_fragment(root, f, columns=columns) for f in snap.fragments]
+    tables = [t for t in tables if t.num_rows > 0]
+    if not tables:
+        empty = read_fragment(root, snap.fragments[0], columns=columns).slice(0, 0) \
+            if snap.fragments else pa.table({})
+        return empty
+    out = pa.concat_tables(tables)
+    if sort_by:
+        out = out.take(pc.sort_indices(out[sort_by]))
+    return out

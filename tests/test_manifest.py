@@ -1,0 +1,76 @@
+import os
+
+import numpy as np
+import pytest
+
+from moonlink_ray import synth
+from moonlink_ray.fragments import read_dv, read_fragment, write_dv, write_fragment
+from moonlink_ray.manifest import (CommitConflict, commit, current_version,
+                                   init_table, list_versions, load,
+                                   read_lineage, write_lineage)
+
+
+def test_init_commit_reload(tmp_path):
+    root = str(tmp_path / "t")
+    init_table(root)
+    assert current_version(root) == 0
+    t = synth.build_rows(range(10))
+    m = write_fragment(root, t, "frag-a")
+    snap = commit(root, [m], max_lsn=5, job={"kind": "test"}, expected_parent=0)
+    assert snap.version == 1
+    re = load(root)
+    assert re.max_lsn == 5
+    assert re.fragments[0].rows == 10
+    assert re.fragments[0].stats["image_id"] == ["img-000000000000", "img-000000000009"]
+    assert list_versions(root) == [0, 1]
+
+
+def test_commit_conflict(tmp_path):
+    root = str(tmp_path / "t")
+    init_table(root)
+    commit(root, [], max_lsn=0, job={}, expected_parent=0)
+    with pytest.raises(CommitConflict):
+        commit(root, [], max_lsn=0, job={}, expected_parent=0)
+
+
+def test_fragment_dv_roundtrip(tmp_path):
+    root = str(tmp_path / "t")
+    init_table(root)
+    t = synth.build_rows(range(20))
+    m = write_fragment(root, t, "frag-a")
+    dv = write_dv(root, "dv-1", np.array([0, 5, 5, 19]))
+    assert dv["count"] == 3
+    assert list(read_dv(root, dv)) == [0, 5, 19]
+    m.dv = dv
+    live = read_fragment(root, m)
+    assert live.num_rows == 17
+    ids = live["image_id"].to_pylist()
+    assert "img-000000000000" not in ids and "img-000000000005" not in ids
+    with_pos = read_fragment(root, m, columns=["image_id"], with_pos=True)
+    assert with_pos["_pos"].to_pylist()[0] == 1
+    assert m.live_rows == 17
+
+
+def test_lineage_sidecars(tmp_path):
+    root = str(tmp_path / "t")
+    init_table(root)
+    write_lineage(root, "run1", "part-0", {"rows": 3})
+    write_lineage(root, "run1", "part-1", {"rows": 4})
+    got = read_lineage(root, "run1")
+    assert got == {"part-0": {"rows": 3}, "part-1": {"rows": 4}}
+    assert read_lineage(root, "nope") == {}
+
+
+def test_snapshot_isolation_files_immutable(tmp_path):
+    root = str(tmp_path / "t")
+    init_table(root)
+    t = synth.build_rows(range(5))
+    m1 = write_fragment(root, t, "frag-a")
+    s1 = commit(root, [m1], max_lsn=1, job={}, expected_parent=0)
+    before = read_fragment(root, m1)
+    m2 = write_fragment(root, synth.build_rows(range(5, 9)), "frag-b")
+    commit(root, [m2], max_lsn=2, job={}, expected_parent=1)
+    # reader pinned at v1 still sees identical bytes
+    again = load(root, s1.version)
+    assert [f.fragment_id for f in again.fragments] == ["frag-a"]
+    assert read_fragment(root, again.fragments[0]).equals(before)
