@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from moonlink_ray.manifest import load
+from moonlink_ray.pipelines.cluster import (cluster, estimate_hot_zkeys,
+                                            phash_range_locality)
+from moonlink_ray.sources.scan import scan_arrow
+from moonlink_ray.stages.keys import zorder_key
+
+
+def test_zorder_key_properties():
+    # all-zero inputs -> minimum key; monotone in phash prefix
+    z0 = zorder_key([0], [0], [0])[0]
+    z1 = zorder_key([2 ** 62], [0], [0])[0]
+    assert z0 < z1
+    # keys are unique for distinct (phash-hi32, w, h)
+    ph = np.arange(0, 1 << 40, 1 << 33, dtype=np.int64)
+    z = zorder_key(ph, np.zeros_like(ph), np.zeros_like(ph))
+    assert len(np.unique(z)) == len(z)
+    # w and h only perturb low-order interleaved bits relative to phash
+    za = zorder_key([1 << 62], [100], [50])[0]
+    zb = zorder_key([1 << 62], [101], [50])[0]
+    assert za != zb
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCluster:
+    def test_set_equality_and_locality(self, tmp_table):
+        before = scan_arrow(tmp_table, sort_by="image_id")
+        loc_before = phash_range_locality(load(tmp_table))
+        snap = cluster(tmp_table, fragment_target_bytes=512 * 1024)
+        assert snap is not None
+        after = scan_arrow(tmp_table, sort_by="image_id")
+        assert after.equals(before.select(after.column_names).cast(after.schema))
+        loc_after = phash_range_locality(snap)
+        # fragments are phash-range clustered now: fewer fragments hit
+        # per narrow probe (allow equality at tiny scale)
+        assert loc_after <= max(loc_before, 1.0) * 1.05
+
+    def test_hot_zkeys_detected(self, tmp_table):
+        hot = estimate_hot_zkeys(tmp_table, load(tmp_table), hot_threshold=0.01)
+        assert len(hot) >= 1  # the 8 near-duplicate bases are hot
+
+    def test_sorted_fragments_have_disjointish_ranges(self, tmp_table):
+        snap = cluster(tmp_table, fragment_target_bytes=256 * 1024)
+        frs = [f for f in snap.fragments]
+        assert len(frs) >= 2
+        # z-ordered fragments should have phash zone maps narrower than the
+        # global range on average
+        glob_lo = min(f.stats["phash"][0] for f in frs)
+        glob_hi = max(f.stats["phash"][1] for f in frs)
+        widths = [f.stats["phash"][1] - f.stats["phash"][0] for f in frs]
+        assert np.mean(widths) < (glob_hi - glob_lo)
+
+    def test_isolation(self, tmp_table):
+        v1 = scan_arrow(tmp_table, 1, sort_by="image_id")
+        cluster(tmp_table)
+        assert scan_arrow(tmp_table, 1, sort_by="image_id").equals(v1)

@@ -1,0 +1,106 @@
+"""Kill-resume: a merge interrupted after k partitions resumes from
+lineage sidecars and produces the identical final manifest (FIXTURES F4.4;
+moonlink analog: WAL recovery, /root/reference/src/moonlink_backend/src/
+recovery_utils.rs:20-118)."""
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+from dataclasses import asdict
+
+import pytest
+
+from moonlink_ray.bootstrap import bootstrap_images_table, write_cdc_parquet
+from moonlink_ray.manifest import load, read_lineage
+from moonlink_ray.pipelines.merge import merge
+from moonlink_ray.sources.scan import scan_arrow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _frag_set(snap):
+    return sorted(json.dumps(asdict(f), sort_keys=True) for f in snap.fragments)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_from_partial_lineage(tmp_path):
+    """Deterministic variant: pre-seed a subset of another run's lineage
+    sidecars (as a kill would leave them) and check the resumed manifest
+    matches the uninterrupted run bit-for-bit."""
+    a = str(tmp_path / "a")
+    bootstrap_images_table(a, 200, rows_per_fragment=32)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+    cdc = str(tmp_path / "cdc.parquet")
+    write_cdc_parquet(cdc, n_base=200, n_ops=120)
+
+    snap_a = merge(a, cdc, run_id="runfix", num_buckets=6)
+
+    # simulate the kill: copy over only SOME finished partitions
+    done = read_lineage(a, "runfix")
+    subset = dict(list(sorted(done.items()))[: len(done) // 2])
+    for key, rec in subset.items():
+        os.makedirs(os.path.join(b, "lineage", "runfix"), exist_ok=True)
+        with open(os.path.join(b, "lineage", "runfix", f"{key}.json"), "w") as f:
+            json.dump(rec, f)
+        frags = rec.get("fragments", [rec.get("meta")] if "meta" in rec else [])
+        for fm in frags:
+            if fm is None:
+                continue
+            for rel in [fm["path"]] + ([fm["dv"]["path"]] if fm.get("dv") else []):
+                src, dst = os.path.join(a, rel), os.path.join(b, rel)
+                if os.path.exists(src):
+                    shutil.copyfile(src, dst)
+
+    snap_b = merge(b, cdc, run_id="runfix", num_buckets=6)
+    assert _frag_set(snap_a) == _frag_set(snap_b)
+    assert scan_arrow(a, sort_by="image_id").equals(
+        scan_arrow(b, sort_by="image_id"))
+
+
+KILL_CHILD = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, sys.argv[4])
+from moonlink_ray.pipelines.merge import merge
+merge(sys.argv[1], sys.argv[2], run_id=sys.argv[3], num_buckets=8)
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sigkill_mid_merge_then_resume(tmp_path):
+    a = str(tmp_path / "a")
+    bootstrap_images_table(a, 200, rows_per_fragment=32)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+    cdc = str(tmp_path / "cdc.parquet")
+    write_cdc_parquet(cdc, n_base=200, n_ops=160)
+
+    snap_a = merge(a, cdc, run_id="runkill", num_buckets=8)
+
+    env = dict(os.environ, RAY_ADDRESS="local")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", KILL_CHILD, b, cdc, "runkill", REPO],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    lin = os.path.join(b, "lineage", "runkill")
+    deadline = time.time() + 120
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.isdir(lin) and len(os.listdir(lin)) >= 2:
+            break
+        time.sleep(0.05)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    snap_b = merge(b, cdc, run_id="runkill", num_buckets=8)
+    assert _frag_set(snap_a) == _frag_set(snap_b)
+    assert scan_arrow(a, sort_by="image_id").equals(
+        scan_arrow(b, sort_by="image_id"))
