@@ -1,0 +1,142 @@
+"""Benchmark harness.
+
+Headline: the full maintenance suite (MERGE -> compact -> Z-order
+cluster -> expire) over the deterministic synthetic image table sized
+for $GRAFT_SF_DIR, plus per-operator timings for representative
+training-data pipelines over the driver's parquet tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <suite seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+   "images": n, "images_per_sec": r}
+
+--scaling: runs the identical suite in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox evidence for the north rule's
+N vs 4N cluster criterion) and prints throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_suite() -> dict:
+    from moonlink_ray.queries import (_COMPACT_CFG, _fresh_copy,
+                                      ensure_images_fixture)
+    from moonlink_ray.pipelines.cluster import cluster
+    from moonlink_ray.pipelines.compact import compact
+    from moonlink_ray.pipelines.expire import expire
+    from moonlink_ray.pipelines.merge import merge
+    from moonlink_ray.sources.scan import scan
+
+    fix = ensure_images_fixture(SF_DIR)  # cached; synthesis NOT timed
+    root = _fresh_copy(fix, f"bench{NCPU}")
+
+    # warm the page cache with one untimed scan so we measure
+    # compute + shuffle, not first-touch disk reads
+    scan(root, columns=["image_id", "phash"]).count()
+
+    stages = {}
+    t0 = time.perf_counter()
+    t = time.perf_counter()
+    merge(root, fix["cdc"])
+    stages["merge"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    compact(root, cfg=_COMPACT_CFG)
+    stages["compact"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    cluster(root)
+    stages["cluster"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    expire(root, keep_last=2)
+    stages["expire"] = round(time.perf_counter() - t, 3)
+    total = time.perf_counter() - t0
+    return {"stages": stages, "suite_sec": total, "images": fix["n"],
+            "images_per_sec": round(fix["n"] / total, 1)}
+
+
+def run_query_benches() -> dict:
+    from moonlink_ray import queries as q
+
+    out = {}
+    for name in ("rel_groupby_agg", "rel_broadcast_join", "dedup_exact",
+                 "dedup_minhash", "text_stats", "ann_topk",
+                 "img_decode_stats"):
+        fn = q.queries()[name]
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        out[name] = round(time.perf_counter() - t, 3)
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    suite = run_suite()
+    qb = run_query_benches()
+    result = {
+        "metric": "maintenance suite (merge+compact+cluster+expire) wall sec",
+        "value": round(suite["suite_sec"], 3),
+        "unit": "sec",
+        "queries": {**suite["stages"], **qb},
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "images": suite["images"],
+        "images_per_sec": suite["images_per_sec"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo_n, hi_n = 8, 32
+        lo = run_child(lo_n)
+        hi = run_child(hi_n)
+        tp_lo = lo["images_per_sec"]
+        tp_hi = hi["images_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi_n / lo_n)
+        result = {
+            "metric": "scaling efficiency N->4N (throughput ratio / 4)",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "images_per_sec_8": tp_lo, "images_per_sec_32": tp_hi,
+            "sec_8": lo["value"], "sec_32": hi["value"],
+            "sf": SF_DIR, "pass": eff >= 0.8,
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scaling_latest.json", "w") as f:
+            json.dump({"lo": lo, "hi": hi, "scaling": result}, f, indent=1)
+        print(json.dumps(result))
+    else:
+        print(json.dumps(bench_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""CLI entry point — the batch analog of moonlink's backend API
+(``optimize_table`` / ``create_snapshot`` / ``scan_table`` / ``load_files``,
+``/root/reference/src/moonlink_backend/src/lib.rs:141-350`` and RPC
+surface ``moonlink_rpc/src/lib.rs:27-38``). Each subcommand is one
+maintenance job, designed to be launched via ``ray job submit``:
+
+    python -m moonlink_ray.engine bootstrap --root T --rows 10000
+    python -m moonlink_ray.engine merge    --root T --cdc c.parquet [--run-id R]
+    python -m moonlink_ray.engine compact  --root T [--mode best_effort|force|full]
+    python -m moonlink_ray.engine cluster  --root T
+    python -m moonlink_ray.engine expire   --root T --keep-last 2
+    python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
+    python -m moonlink_ray.engine status   --root T
+
+Only this CLI owns the Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="moonlink_ray.engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        s = sub.add_parser(name)
+        s.add_argument("--root", required=True)
+        return s
+
+    s = add("bootstrap")
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--rows-per-fragment", type=int, default=256)
+    s = add("merge")
+    s.add_argument("--cdc", required=True, nargs="+")
+    s.add_argument("--run-id", default=None)
+    s.add_argument("--num-buckets", type=int, default=None)
+    s = add("compact")
+    s.add_argument("--mode", default="best_effort",
+                   choices=["best_effort", "force", "full"])
+    s.add_argument("--run-id", default=None)
+    s = add("cluster")
+    s.add_argument("--run-id", default=None)
+    s = add("expire")
+    s.add_argument("--keep-last", type=int, default=2)
+    s.add_argument("--keep-orphans", action="store_true")
+    s = add("scan")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--out", required=True)
+    add("status")
+    args = p.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from .manifest import current_version, load
+    out = {}
+    if args.cmd == "bootstrap":
+        from .bootstrap import bootstrap_images_table
+        bootstrap_images_table(args.root, args.rows,
+                               rows_per_fragment=args.rows_per_fragment)
+        out = {"version": current_version(args.root)}
+    elif args.cmd == "merge":
+        from .pipelines.merge import merge
+        snap = merge(args.root, args.cdc, run_id=args.run_id,
+                     num_buckets=args.num_buckets)
+        out = {"version": snap.version, "max_lsn": snap.max_lsn,
+               "fragments": len(snap.fragments)}
+    elif args.cmd == "compact":
+        from .pipelines.compact import compact
+        snap = compact(args.root, mode=args.mode, run_id=args.run_id)
+        out = {"version": snap.version if snap else None,
+               "noop": snap is None}
+    elif args.cmd == "cluster":
+        from .pipelines.cluster import cluster
+        snap = cluster(args.root, run_id=args.run_id)
+        out = {"version": snap.version if snap else None}
+    elif args.cmd == "expire":
+        from .pipelines.expire import expire
+        out = expire(args.root, keep_last=args.keep_last,
+                     clean_orphans=not args.keep_orphans)
+    elif args.cmd == "scan":
+        from .sources.scan import scan
+        ds = scan(args.root, version=args.snapshot)
+        ds.write_parquet(args.out)
+        out = {"rows": ds.count(), "out": args.out}
+    elif args.cmd == "status":
+        snap = load(args.root)
+        out = {"version": snap.version, "max_lsn": snap.max_lsn,
+               "fragments": len(snap.fragments), "rows": snap.total_rows,
+               "bytes": sum(f.size_bytes for f in snap.fragments)}
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
