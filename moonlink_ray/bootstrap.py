@@ -28,16 +28,19 @@ from .manifest import FragmentMeta, commit, init_table, load
 _RAY_THRESHOLD = 8_000  # below this, driver-side generation is faster than task overhead
 
 
-def _gen_and_write(root: str, part: int, start: int, stop: int, seed: int) -> FragmentMeta:
-    table = synth.build_rows(range(start, stop), seed=seed)
+def _gen_and_write(root: str, part: int, start: int, stop: int, seed: int,
+                   scale: int = 1) -> FragmentMeta:
+    table = synth.build_rows(range(start, stop), seed=seed, scale=scale)
     return write_fragment(root, table, f"frag-base-{part:06d}", lineage=[], max_lsn=0)
 
 
 def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 256,
-                           seed: int = synth.SEED, force: bool = False) -> None:
+                           seed: int = synth.SEED, scale: int = 1,
+                           force: bool = False) -> None:
     """Create (or reuse) a committed images table at ``root``."""
     fingerprint = {"kind": "bootstrap", "n_rows": n_rows, "seed": seed,
-                   "rows_per_fragment": rows_per_fragment}
+                   "rows_per_fragment": rows_per_fragment, "scale": scale,
+                   "synthv": synth.SYNTH_VERSION}
     hint = os.path.join(root, "version-hint.text")
     if not force and os.path.exists(hint):
         try:
@@ -61,7 +64,8 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
         def write_part(batch: pa.Table) -> pa.Table:
             metas = []
             for row in batch.to_pylist():
-                m = _gen_and_write(root, row["part"], row["start"], row["stop"], seed)
+                m = _gen_and_write(root, row["part"], row["start"], row["stop"],
+                                   seed, scale)
                 metas.append(json.dumps(asdict(m)))
             return pa.table({"meta": pa.array(metas, pa.string())})
 
@@ -70,7 +74,7 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
                                    batch_format="pyarrow").take_all()
         metas = [FragmentMeta.from_dict(json.loads(r["meta"])) for r in meta_rows]
     else:
-        metas = [_gen_and_write(root, p, s, e, seed) for p, s, e in parts]
+        metas = [_gen_and_write(root, p, s, e, seed, scale) for p, s, e in parts]
 
     metas.sort(key=lambda m: m.fragment_id)
     commit(root, metas, max_lsn=0, job=fingerprint, expected_parent=0)
@@ -81,7 +85,8 @@ def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
                       force: bool = False) -> str:
     """Materialize a deterministic CDC batch as one Parquet file (cached)."""
     marker = path + ".fp.json"
-    fingerprint = {"n_base": n_base, "n_ops": n_ops, "seed": seed, "start_lsn": start_lsn}
+    fingerprint = {"n_base": n_base, "n_ops": n_ops, "seed": seed,
+                   "start_lsn": start_lsn, "synthv": synth.SYNTH_VERSION}
     if not force and os.path.exists(path) and os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == fingerprint:

@@ -9,16 +9,21 @@ threshold or with >=50% rows deleted, min/max victims per round, with
 Force/Full overrides (``snapshot_maintenance.rs:42-196``,
 ``compaction_config.rs:47-54``, ``snapshot_options.rs``).
 
-Ray-Data shape:
+Ray-Data shape (shuffle-free):
 
-    scan(victims, DV applied, tagged _group)
-      -> map_batches(ReencodeStage, concurrency=N, batch_size=small)
-         (actor pool: codec state held per actor; decode -> re-encode
-          -> PSNR-verify, the north-rule invariant)
-      -> groupby(_group).map_groups(GroupWriter)
-         (one call per output group: sort by image_id, size-capped
-          fragment writes, per-group lineage checkpoint)
+    Dataset of output-group ids (one block per group)
+      -> map_batches(CompactGroupTask, concurrency=N, batch_size=1)
+         actor pool; the group plan is broadcast once via ray.put and
+         materialized per actor in __init__. Each __call__ compacts ONE
+         group end-to-end: read its victim fragments (DV applied),
+         sort by image_id, decode -> re-encode -> PSNR-verify (the
+         north-rule invariant), write size-capped fragments + lineage.
       -> driver folds the manifest and swaps the pointer.
+
+    Groups are independent by construction (each victim fragment is in
+    exactly one group), so compaction needs NO all-to-all exchange: at
+    100 TB this is ~800k bounded (~output_target_bytes) tasks pulling
+    from an actor pool, instead of a global shuffle.
 
 Victim selection is pure manifest metadata (no data read), exactly like
 moonlink's selection over snapshot stats. Output-group membership is a
@@ -41,9 +46,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import codec
-from ..fragments import write_fragment
+from ..fragments import read_fragment, write_fragment
 from ..manifest import FragmentMeta, Snapshot, commit, load, read_lineage, write_lineage
-from ..sources.scan import scan
 from ..synth import IMAGES_SCHEMA
 from .merge import _chunk_by_bytes
 
@@ -100,65 +104,80 @@ def plan_groups(victims: list[FragmentMeta], target_bytes: int) -> list[list[Fra
     return groups
 
 
-class ReencodeStage:
-    """Actor-pool stage: decode -> re-encode every image, verify PSNR.
+def reencode_table(batch: pa.Table, verify_psnr_db: float = 40.0) -> pa.Table:
+    """Decode -> re-encode every image row, verify the north-rule
+    invariant (lossless: exact round-trip; lossy: PSNR >= gate)."""
+    blobs = batch["bytes"].to_pylist()
+    fmts = batch["fmt"].to_pylist()
+    new_blobs = []
+    for buf, fmt in zip(blobs, fmts):
+        arr = codec.decode(buf)
+        out = codec.encode(arr, fmt)
+        if verify_psnr_db >= 0:
+            dec = codec.decode(out)
+            if fmt == "png":
+                if not np.array_equal(arr, dec):
+                    raise AssertionError("lossless re-encode changed pixels")
+            else:
+                p = codec.psnr(arr, dec)
+                if p < verify_psnr_db:
+                    raise AssertionError(f"re-encode PSNR {p:.1f} dB < "
+                                         f"{verify_psnr_db} dB")
+        new_blobs.append(out)
+    i = batch.column_names.index("bytes")
+    return batch.set_column(i, "bytes", pa.array(new_blobs, pa.binary()))
 
-    Codec/verification state lives in __init__ (once per actor); __call__
-    is per batch. Lossless rows must round-trip exactly; lossy rows are
-    quantization fixed points, and the PSNR gate proves it.
-    """
+
+class ReencodeStage:
+    """Standalone actor-pool map_batches stage wrapping reencode_table
+    (kept for pipelines that re-encode outside compaction)."""
 
     def __init__(self, verify_psnr_db: float = 40.0):
         self.verify_psnr_db = verify_psnr_db
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
-        new_blobs = []
-        for buf, fmt in zip(blobs, fmts):
-            arr = codec.decode(buf)
-            out = codec.encode(arr, fmt)
-            if self.verify_psnr_db >= 0:
-                dec = codec.decode(out)
-                if fmt == "png":
-                    if not np.array_equal(arr, dec):
-                        raise AssertionError("lossless re-encode changed pixels")
-                else:
-                    p = codec.psnr(arr, dec)
-                    if p < self.verify_psnr_db:
-                        raise AssertionError(f"re-encode PSNR {p:.1f} dB < "
-                                             f"{self.verify_psnr_db} dB")
-            new_blobs.append(out)
-        i = batch.column_names.index("bytes")
-        return batch.set_column(i, "bytes", pa.array(new_blobs, pa.binary()))
+        return reencode_table(batch, self.verify_psnr_db)
 
 
-class _GroupWriter:
-    """map_groups callable: one call per output group."""
+class CompactGroupTask:
+    """Actor-pool stage: one __call__ compacts one output group.
 
-    def __init__(self, root: str, run_id: str, groups_lineage: dict[int, dict],
-                 target_bytes: int):
+    The group plan (group id -> victim fragment metas + lineage) is
+    broadcast once with ``ray.put`` and fetched per actor in __init__ —
+    never re-shipped per batch. Each group is read directly with the
+    fragment reader (DV applied), so no scan shuffle is needed.
+    """
+
+    def __init__(self, root: str, run_id: str, plan_ref,
+                 target_bytes: int, verify_psnr_db: float):
+        import ray
         self.root = root
         self.run_id = run_id
-        self.groups_lineage = groups_lineage  # group -> {"sources": [...], "max_lsn": int}
+        self.plan = ray.get(plan_ref) if hasattr(plan_ref, "hex") else plan_ref
         self.target_bytes = target_bytes
-        self.__name__ = "CompactGroupWriter"  # map_groups wraps fn by name
+        self.verify_psnr_db = verify_psnr_db
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        gid = int(group["_group"][0].as_py())
-        info = self.groups_lineage[gid]
-        group = group.take(pc.sort_indices(group["image_id"]))
-        out = group.select(IMAGES_SCHEMA.names).cast(IMAGES_SCHEMA)
+    def __call__(self, batch: pa.Table) -> pa.Table:
         metas = []
-        for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
-            frag_id = f"frag-{self.run_id}-g{gid:05d}-{n:03d}"
-            metas.append(write_fragment(self.root, chunk, frag_id,
-                                        lineage=info["sources"],
-                                        max_lsn=info["max_lsn"]))
-        write_lineage(self.root, self.run_id, f"group-{gid:05d}", {
-            "kind": "compact-group", "group": gid,
-            "fragments": [asdict(m) for m in metas],
-        })
+        for gid in batch["group"].to_pylist():
+            info = self.plan[gid]
+            frags = [FragmentMeta.from_dict(d) for d in info["frags"]]
+            tables = [read_fragment(self.root, f) for f in frags]
+            group = pa.concat_tables(tables)
+            group = group.take(pc.sort_indices(group["image_id"]))
+            out = group.select(IMAGES_SCHEMA.names).cast(IMAGES_SCHEMA)
+            out = reencode_table(out, self.verify_psnr_db)
+            gmetas = []
+            for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
+                frag_id = f"frag-{self.run_id}-g{gid:05d}-{n:03d}"
+                gmetas.append(write_fragment(self.root, chunk, frag_id,
+                                             lineage=info["sources"],
+                                             max_lsn=info["max_lsn"]))
+            write_lineage(self.root, self.run_id, f"group-{gid:05d}", {
+                "kind": "compact-group", "group": gid,
+                "fragments": [asdict(m) for m in gmetas],
+            })
+            metas.extend(gmetas)
         return pa.table({"meta": pa.array([json.dumps(asdict(m)) for m in metas],
                                           pa.string())})
 
@@ -176,9 +195,9 @@ def compact(root: str, *, mode: str = "best_effort",
     if not victims:
         return None
     groups = plan_groups(victims, cfg.output_target_bytes)
-    frag_to_group = {f.fragment_id: g for g, grp in enumerate(groups) for f in grp}
-    groups_lineage = {
+    plan = {
         g: {"sources": sorted(f.fragment_id for f in grp),
+            "frags": [asdict(f) for f in grp],
             "max_lsn": max(f.max_lsn for f in grp)}
         for g, grp in enumerate(groups)
     }
@@ -189,31 +208,23 @@ def compact(root: str, *, mode: str = "best_effort",
     new_metas = [FragmentMeta.from_dict(d)
                  for k, rec in done.items() if k.startswith("group-")
                  for d in rec["fragments"]]
-    todo_frags = [f for f in victims if frag_to_group[f.fragment_id] not in done_groups]
+    todo_groups = [g for g in plan if g not in done_groups]
 
-    if todo_frags:
-        ds = scan(root, fragments=todo_frags, with_frag=True)
-
-        def tag(batch: pa.Table) -> pa.Table:
-            gids = [frag_to_group[fid] for fid in
-                    batch["_frag"].to_pylist()]
-            return batch.drop_columns(["_frag"]).append_column(
-                "_group", pa.array(gids, pa.int64()))
-
-        ds = ds.map_batches(tag, batch_format="pyarrow")
-        if cfg.reencode_concurrency:
-            ds = ds.map_batches(ReencodeStage, batch_format="pyarrow",
-                                batch_size=cfg.reencode_batch_size,
-                                concurrency=cfg.reencode_concurrency,
-                                fn_constructor_kwargs={
-                                    "verify_psnr_db": cfg.verify_psnr_db})
-        else:
-            ds = ds.map_batches(ReencodeStage(cfg.verify_psnr_db),
-                                batch_format="pyarrow",
-                                batch_size=cfg.reencode_batch_size)
-        written = ds.groupby("_group").map_groups(
-            _GroupWriter(root, run_id, groups_lineage, cfg.output_target_bytes),
-            batch_format="pyarrow")
+    if todo_groups:
+        import ray
+        plan_ref = ray.put(plan)  # broadcast once, fetched per actor
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = cfg.reencode_concurrency or max(
+            1, min(len(todo_groups), n_cpus))
+        ds = rd.from_items([{"group": g} for g in todo_groups],
+                           override_num_blocks=len(todo_groups))
+        written = ds.map_batches(
+            CompactGroupTask, batch_format="pyarrow", batch_size=1,
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(
+                root=root, run_id=run_id, plan_ref=plan_ref,
+                target_bytes=cfg.output_target_bytes,
+                verify_psnr_db=cfg.verify_psnr_db))
         for r in written.take_all():
             new_metas.append(FragmentMeta.from_dict(json.loads(r["meta"])))
 

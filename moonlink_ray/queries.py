@@ -38,8 +38,9 @@ from .pipelines.expire import expire
 from .pipelines.merge import merge
 from .sources.scan import scan_arrow
 from .stages import dedup, text
-from .stages.ann import brute_force_topk, lsh_topk, make_hyperplanes
-from .stages.multimodal import ImageDecodeStats
+from .stages.ann import (brute_force_topk, ivf_topk, lsh_topk,
+                         make_hyperplanes, train_centroids)
+from .stages.multimodal import ImageDecodeStats, ImagePhash, ImageResize
 from .stages.relational import broadcast_join, partial_groupby_sum
 
 DATA_ROOT = "/tmp/mlray"
@@ -58,22 +59,43 @@ def _rows_for_sf(sf_dir: str) -> int:
     return int(np.clip(int(150_000 * sf), 300, 20_000))
 
 
+def _scale_for_sf(sf_dir: str) -> int:
+    """Image-dimension multiplier: bench scale (sf >= 0.1) uses big noisy
+    images so the maintenance suite is compute-bound (codec work per row
+    like a natural-image pipeline), correctness scales stay small/fast."""
+    try:
+        sf = float(_sf_name(sf_dir)[2:])
+    except ValueError:
+        sf = 0.01
+    return 3 if sf >= 0.1 else 1
+
+
 def ensure_images_fixture(sf_dir: str) -> dict:
     """Create (cached) the per-scale image fixture: a committed table
     root, a CDC parquet, and oracle dumps of both as plain parquet."""
+    import json
     name = _sf_name(sf_dir)
     base_dir = os.path.join(DATA_ROOT, name)
     n = _rows_for_sf(sf_dir)
+    scale = _scale_for_sf(sf_dir)
     n_ops = n // 2
     root = os.path.join(base_dir, "table")
     cdc = os.path.join(base_dir, "cdc.parquet")
     base_dump = os.path.join(base_dir, "images_base.parquet")
     os.makedirs(base_dir, exist_ok=True)
-    bootstrap_images_table(root, n, rows_per_fragment=256)
+    bootstrap_images_table(root, n, rows_per_fragment=256, scale=scale)
     write_cdc_parquet(cdc, n_base=n, n_ops=n_ops)
-    if not os.path.exists(base_dump):
+    marker = base_dump + ".fp.json"
+    fp = {"n": n, "scale": scale, "synthv": synth.SYNTH_VERSION}
+    stale = True
+    if os.path.exists(base_dump) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != fp
+    if stale:
         pq.write_table(scan_arrow(root, 1), base_dump + ".tmp")
         os.replace(base_dump + ".tmp", base_dump)
+        with open(marker, "w") as f:
+            json.dump(fp, f)
     return {"root": root, "cdc": cdc, "base_dump": base_dump, "n": n}
 
 
@@ -86,8 +108,12 @@ def _fresh_copy(fix: dict, tag: str) -> str:
     return dst
 
 
+# bench/oracle compaction config: every base fragment (~75 MB at bench
+# scale) is a victim, one fragment per output group -> full parallel
+# re-encode rewrite with #groups ~ #fragments >= CPUs
 _COMPACT_CFG = CompactionConfig(min_victims=2,
-                                output_target_bytes=64 * 1024 * 1024)
+                                small_file_bytes=256 * 1024 * 1024,
+                                output_target_bytes=128 * 1024 * 1024)
 
 
 # ------------------------------------------------------------ maintenance
@@ -130,6 +156,29 @@ def img_decode_stats(sf_dir: str):
     ds = ds.map_batches(ImageDecodeStats, batch_format="pyarrow",
                         batch_size=64, concurrency=2)
     return ds.select_columns(["image_id", "decoded_w", "decoded_h"])
+
+
+def img_phash_check(sf_dir: str):
+    """Decode every image and recompute its phash — must equal the
+    stored column (integrity scan; strong oracle)."""
+    from .sources.scan import scan
+    fix = ensure_images_fixture(sf_dir)
+    ds = scan(fix["root"], version=1)
+    ds = ds.map_batches(ImagePhash, batch_format="pyarrow",
+                        batch_size=64, concurrency=2)
+    return ds.select_columns(["image_id", "phash", "phash_check"])
+
+
+def img_resize(sf_dir: str):
+    """Actor-pool nearest-neighbour resize to 64x64 (re-encoded with the
+    row's own fmt); returns the new typed metadata."""
+    from .sources.scan import scan
+    fix = ensure_images_fixture(sf_dir)
+    ds = scan(fix["root"], version=1)
+    ds = ds.map_batches(ImageResize, batch_format="pyarrow",
+                        batch_size=64, concurrency=2,
+                        fn_constructor_kwargs=dict(out_w=64, out_h=64))
+    return ds.select_columns(["image_id", "w", "h", "fmt"])
 
 
 # ------------------------------------------------------------- relational
@@ -201,6 +250,36 @@ def rel_broadcast_join(sf_dir: str):
                                 batch_format="pandas")
     return partial_groupby_sum(joined, ["c_mktsegment"], ["price_c"],
                                count_col="n")
+
+
+def rel_semi_join(sf_dir: str):
+    """Semi join: orders of customers in the BUILDING segment — key set
+    broadcast from the small side, filtered inside map_batches."""
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False))
+    ref = ray.put(keys)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from .stages.relational import semi_anti_filter
+    return semi_anti_filter(ds, ref, col="o_custkey")
+
+
+def rel_anti_join(sf_dir: str):
+    """Anti join: orders of customers NOT in the BUILDING segment —
+    key set broadcast, anti-filtered inside map_batches."""
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_numpy(zero_copy_only=False))
+    ref = ray.put(keys)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from .stages.relational import semi_anti_filter
+    return semi_anti_filter(ds, ref, col="o_custkey", anti=True)
 
 
 def rel_topk(sf_dir: str):
@@ -314,6 +393,14 @@ def dedup_minhash(sf_dir: str):
     return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
 
 
+def dedup_ngram(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (gram blocking, no cap)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
+                                      k=3, threshold_permille=500)
+    return pairs
+
+
 def dedup_simhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(dedup.simhash_stage, batch_format="pyarrow")
@@ -359,6 +446,20 @@ def ann_lsh(sf_dir: str):
                            batch_format="pandas")
 
 
+def ann_ivf(sf_dir: str):
+    """IVF-flat: deterministic k-means centroids trained on a sample,
+    nprobe nearest lists searched per query."""
+    qref = _query_vectors(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    sample = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)[:2048])
+    centroids = train_centroids(sample, n_centroids=16)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, qref, centroids=centroids, nprobe=4, k=10)
+    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
+                           batch_format="pandas")
+
+
 # ------------------------------------------------------------------ registry
 
 def queries():
@@ -368,15 +469,20 @@ def queries():
         "maint_cluster": maint_cluster,
         "maint_expire": maint_expire,
         "img_decode_stats": img_decode_stats,
+        "img_phash_check": img_phash_check,
+        "img_resize": img_resize,
         "rel_groupby_agg": rel_groupby_agg,
         "rel_filter_project": rel_filter_project,
         "rel_broadcast_join": rel_broadcast_join,
+        "rel_semi_join": rel_semi_join,
+        "rel_anti_join": rel_anti_join,
         "rel_topk": rel_topk,
         "rel_distinct": rel_distinct,
         "rel_last_event_per_user": rel_last_event_per_user,
         "rel_window_tumbling": rel_window_tumbling,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_ngram": dedup_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "text_stats": text_stats,
@@ -386,6 +492,7 @@ def queries():
         "text_rolling_fp": text_rolling_fp,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
     }
 
 
@@ -434,6 +541,41 @@ def oracle_sql():
                    COUNT(*) AS n
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "img_phash_check": f"""
+            SELECT image_id, phash, phash AS phash_check
+            FROM read_parquet({_MAINT_BASE})""",
+        "img_resize": f"""
+            SELECT image_id, 64 AS w, 64 AS h, fmt
+            FROM read_parquet({_MAINT_BASE})""",
+        "rel_semi_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')""",
+        "rel_anti_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING')""",
+        "dedup_ngram": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE len(trim(text)) > 0),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b,
+                   CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                     AS jac_permille
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500""",
         "rel_topk": """
             SELECT o_orderkey, o_custkey,
                    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
@@ -483,5 +625,5 @@ def oracle_sql():
             SELECT query_id, vec_id FROM r WHERE rn <= 10""",
         # rows-only (non-SQL-expressible / heuristic / approximate):
         # img_decode_stats, dedup_minhash, dedup_simhash, text_langid,
-        # text_quality, text_rolling_fp, ann_lsh
+        # text_quality, text_rolling_fp, ann_lsh, ann_ivf
     }

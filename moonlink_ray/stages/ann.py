@@ -95,6 +95,49 @@ def lsh_bucket_stage(planes: np.ndarray, emb_col: str = "embedding"):
     return fn
 
 
+def train_centroids(sample: np.ndarray, n_centroids: int = 16,
+                    iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (at scale
+    the sample comes from ``ds.random_sample``). Returns (n_centroids, d)
+    unit-norm centroids."""
+    rng = np.random.default_rng(seed)
+    X = _norm_rows(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _norm_rows(C)
+    return C
+
+
+def ivf_topk(ds, queries_ref, *, centroids: np.ndarray, nprobe: int = 2,
+             k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF-flat ANN: rows are assigned to their nearest centroid inside
+    map_batches; each query probes its ``nprobe`` nearest centroid lists
+    and brute-forces only those. At 10^12 rows the centroid id is the
+    stored partition key, so the probe is a zone-map-pruned fragment
+    read (same layout trick as lsh_topk)."""
+    import ray
+
+    C = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    q = ray.get(queries_ref)
+    Q = _norm_rows(np.asarray(q["mat"], dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+
+    def assign_and_prune(batch: pa.Table) -> pa.Table:
+        M = np.vstack(batch[emb_col].to_numpy(zero_copy_only=False))
+        cid = np.argmax(_norm_rows(M.astype(np.float64)) @ C.T, axis=1)
+        return batch.filter(pa.array(np.isin(cid, wanted)))
+
+    pruned = ds.map_batches(assign_and_prune, batch_format="pyarrow")
+    return brute_force_topk(pruned, queries_ref, k=k, id_col=id_col,
+                            emb_col=emb_col)
+
+
 def lsh_topk(ds, queries_ref, *, planes: np.ndarray, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding"):
     """ANN top-k searching only the query's LSH bucket (single-probe).

@@ -179,6 +179,85 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
     return uniq.map_batches(verify, batch_format="pandas")
 
 
+# ------------------------------------------------------- n-gram Jaccard
+
+def gram_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word k-gram hashes; empty for docs with < k words
+    (strict — no short-doc fallback, so the SQL oracle can mirror it)."""
+    words = (text or "").lower().split()
+    if len(words) < k:
+        return np.array([], dtype=np.uint64)
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(stable_hash_strings(np.array(grams, dtype=object)))
+
+
+def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
+                        threshold_permille=500, max_df: int | None = None):
+    """Exact n-gram Jaccard near-dup pairs via gram blocking.
+
+    explode (gram_hash, id) -> groupby(gram) -> pair rows -> count shared
+    grams per pair -> jaccard from per-doc gram counts (broadcast dict;
+    at corpus scale this becomes a hash-join of the tiny pair list back
+    on id). ``max_df`` drops grams shared by more than max_df docs (the
+    standard skew guard at scale; None = exact). Returns Dataset
+    (a, b, jac_permille) with jac_permille = floor(1000*|∩|/|∪|) >=
+    threshold_permille.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_ids, out_g = [], []
+        for rid, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            g = gram_hashes(text, k)
+            out_ids.extend([rid] * len(g))
+            out_g.extend(g.astype(np.int64))
+        return pa.table({"id": pa.array(out_ids),
+                         "g": pa.array(out_g, pa.int64())})
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        n = [len(gram_hashes(t, k)) for t in batch[text_col].to_pylist()]
+        return pa.table({"id": batch[id_col],
+                         "n": pa.array(n, pa.int64())})
+
+    # per-doc gram counts: tiny (one int per doc) -> broadcast
+    size_rows = ds.map_batches(sizes, batch_format="pyarrow").take_all()
+    sizes_ref = ray.put({r["id"]: r["n"] for r in size_rows})
+
+    grams = ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["id"]))
+        empty = group["id"].iloc[:0]
+        if max_df is not None and len(ids) > max_df:
+            ids = []
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=empty.dtype),
+                             "b": pd.Series(out_b, dtype=empty.dtype)})
+
+    pair_rows = grams.groupby("g").map_groups(pairs, batch_format="pandas")
+    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(jac_permille=pd.Series([], dtype=np.int64))
+        ns = ray.get(sizes_ref)
+        na = batch["a"].map(ns).to_numpy(dtype=np.int64)
+        nb = batch["b"].map(ns).to_numpy(dtype=np.int64)
+        i = batch["i"].to_numpy(dtype=np.int64)
+        union = na + nb - i
+        jac = np.floor(1000.0 * i / np.maximum(union, 1)).astype(np.int64)
+        out = batch[["a", "b"]].assign(jac_permille=jac)
+        return out[out["jac_permille"] >= threshold_permille]
+
+    return inter.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(texts: list[str]) -> np.ndarray:

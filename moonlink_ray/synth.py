@@ -27,6 +27,7 @@ import pyarrow as pa
 from . import codec
 
 SEED = 42
+SYNTH_VERSION = 2  # bump on any content-changing synth edit (cache keys)
 _BASE_OFFSET = 10_000_000_019  # rng stream namespace for the 8 hot base images
 _CDC_CONTENT_OFFSET = 20_000_000_003
 
@@ -61,8 +62,8 @@ def image_id(i: int) -> str:
     return f"img-{i:012d}"
 
 
-def _row_dims(i: int) -> tuple[int, int]:
-    return 64 + (i * 37) % 193, 64 + (i * 53) % 161  # (w, h)
+def _row_dims(i: int, scale: int = 1) -> tuple[int, int]:
+    return (64 + (i * 37) % 193) * scale, (64 + (i * 53) % 161) * scale  # (w, h)
 
 
 def _upscale(low: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -72,21 +73,28 @@ def _upscale(low: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.ascontiguousarray(big[:h, :w])
 
 
-def gen_pixels(i: int, seed: int = SEED) -> np.ndarray:
-    """Deterministic (h, w, 3) uint8 pixels for row index i."""
+def gen_pixels(i: int, seed: int = SEED, scale: int = 1) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for row index i.
+
+    ``scale`` multiplies the dimensions (bench fixtures use scale > 1 so
+    the codec does natural-image-sized work). All rows carry per-pixel
+    noise so zlib sees realistic entropy, not a free ride on flat tiles.
+    """
     if i % 10 == 9:  # hot near-duplicate rows: one of 8 base images + noise
         b = (i // 10) % 8
         base_rng = np.random.default_rng(seed * 1_000_000_007 + _BASE_OFFSET + b)
-        w, h = 128 + b * 8, 96 + b * 8
+        w, h = (128 + b * 8) * scale, (96 + b * 8) * scale
         low = base_rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
         arr = _upscale(low, h, w).astype(np.int16)
         noise_rng = np.random.default_rng(seed * 1_000_000_007 + i)
         arr = arr + noise_rng.integers(-2, 3, size=arr.shape, dtype=np.int16)
         return np.clip(arr, 0, 255).astype(np.uint8)
     rng = np.random.default_rng(seed * 1_000_000_007 + i)
-    w, h = _row_dims(i)
+    w, h = _row_dims(i, scale)
     low = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-    return _upscale(low, h, w)
+    arr = _upscale(low, h, w).astype(np.int16)
+    arr = arr + rng.integers(-6, 7, size=arr.shape, dtype=np.int16)
+    return np.clip(arr, 0, 255).astype(np.uint8)
 
 
 def gen_caption(i: int, seed: int = SEED) -> str:
@@ -100,7 +108,8 @@ def row_fmt(i: int) -> str:
     return "png" if i % 4 == 0 else "jpeg"
 
 
-def build_rows(indices, seed: int = SEED, content_offset: int = 0) -> pa.Table:
+def build_rows(indices, seed: int = SEED, content_offset: int = 0,
+               scale: int = 1) -> pa.Table:
     """Materialize image rows for the given row indices as an Arrow table.
 
     ``content_offset`` shifts the pixel/caption streams so CDC upserts
@@ -110,7 +119,7 @@ def build_rows(indices, seed: int = SEED, content_offset: int = 0) -> pa.Table:
     for i in indices:
         i = int(i)
         ci = i + content_offset
-        arr = gen_pixels(ci, seed)
+        arr = gen_pixels(ci, seed, scale)
         fmt = row_fmt(ci)
         buf = codec.encode(arr, fmt)
         stored = codec.quantize(arr) if fmt == "jpeg" else arr
