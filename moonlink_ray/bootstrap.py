@@ -80,6 +80,67 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
     commit(root, metas, max_lsn=0, job=fingerprint, expected_parent=0)
 
 
+def register_parquet_files(root: str, paths: list[str], *,
+                           max_lsn: int = 0, run_id: str | None = None):
+    """Bulk load: register existing Parquet files as table fragments
+    WITHOUT rewriting their data — the moonlink ``LoadFiles`` analog
+    (``/root/reference/src/moonlink/src/storage/mooncake_table/
+    batch_ingestion.rs:21-88``: files are adopted as-is; only the
+    identity columns are scanned to build the index, there 64-way
+    concurrent). Here the stats scan is a column-pruned parallel
+    ``map_batches`` over the file list and the "index" is the zone-map
+    stats entry. Returns the new snapshot."""
+    import uuid
+
+    import ray.data as rd
+
+    from .fragments import STATS_COLUMNS, _col_stats
+    from .manifest import init_table
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    hint = os.path.join(root, "version-hint.text")
+    if not os.path.exists(hint):
+        init_table(root)
+        parent, existing = 0, []
+    else:
+        snap = load(root)
+        parent, existing = snap.version, list(snap.fragments)
+
+    items = [{"path": os.path.abspath(p), "n": i}
+             for i, p in enumerate(sorted(paths))]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        metas = []
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["path"])
+            names = {f_.name for f_ in pf.schema_arrow}
+            missing = set(synth.IMAGES_SCHEMA.names) - names
+            if missing:
+                raise ValueError(
+                    f"{row['path']} missing columns {sorted(missing)}")
+            stat_cols = [c for c in STATS_COLUMNS if c in names]
+            t = pq.read_table(row["path"], columns=stat_cols)
+            meta = FragmentMeta(
+                fragment_id=f"frag-load-{run_id}-{row['n']:06d}",
+                path=row["path"],  # absolute: data adopted in place
+                rows=t.num_rows,
+                size_bytes=os.path.getsize(row["path"]),
+                stats=_col_stats(t),
+                dv=None, lineage=[], max_lsn=max_lsn)
+            metas.append(json.dumps(asdict(meta)))
+        return pa.table({"meta": pa.array(metas, pa.string())})
+
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    rows = ds.map_batches(probe, batch_size=1, batch_format="pyarrow").take_all()
+    new = [FragmentMeta.from_dict(json.loads(r["meta"])) for r in rows]
+    final = existing + new
+    final.sort(key=lambda m: m.fragment_id)
+    return commit(root, final, max_lsn=max(max_lsn, 0 if parent == 0 else snap.max_lsn),
+                  job={"kind": "load-files", "run_id": run_id,
+                       "paths": [it["path"] for it in items]},
+                  expected_parent=parent)
+
+
 def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
                       seed: int = synth.SEED + 1, start_lsn: int = 1_000,
                       force: bool = False) -> str:

@@ -34,6 +34,9 @@ def main(argv=None):
     s = add("bootstrap")
     s.add_argument("--rows", type=int, required=True)
     s.add_argument("--rows-per-fragment", type=int, default=256)
+    s = add("load-files")
+    s.add_argument("--paths", required=True, nargs="+")
+    s.add_argument("--max-lsn", type=int, default=0)
     s = add("merge")
     s.add_argument("--cdc", required=True, nargs="+")
     s.add_argument("--run-id", default=None)
@@ -67,6 +70,12 @@ def main(argv=None):
         bootstrap_images_table(args.root, args.rows,
                                rows_per_fragment=args.rows_per_fragment)
         out = {"version": current_version(args.root)}
+    elif args.cmd == "load-files":
+        from .bootstrap import register_parquet_files
+        snap = register_parquet_files(args.root, args.paths,
+                                      max_lsn=args.max_lsn)
+        out = {"version": snap.version, "fragments": len(snap.fragments),
+               "rows": snap.total_rows}
     elif args.cmd == "merge":
         from .pipelines.merge import merge
         snap = merge(args.root, args.cdc, run_id=args.run_id,

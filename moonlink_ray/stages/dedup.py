@@ -107,24 +107,36 @@ class MinHashStage:
         self.__name__ = "MinHashStage"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
-
-        ids, bands, bhashes = [], [], []
-        for rid, text in zip(batch[self.id_col].to_pylist(),
-                             batch[self.text_col].to_pylist()):
-            sig = minhash_signature(_shingles(text or "", self.shingle_k),
-                                    (self.a, self.b))
-            for bnd in range(self.bands):
-                chunk = sig[bnd * self.rows_per_band:(bnd + 1) * self.rows_per_band]
-                digest = hashlib.md5(chunk.tobytes()).digest()[:8]
-                bh = int.from_bytes(digest, "little", signed=True)
-                ids.append(rid)
-                bands.append(bnd)
-                bhashes.append(bh)
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"id": pa.array([]),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        # one signature matrix for the whole batch: concat every doc's
+        # shingles, hash all permutations in one matmul-shaped op, then
+        # segment-min with reduceat (no per-doc Python math)
+        sets = [_shingles(t or "", self.shingle_k) for t in texts]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        nonempty = lens > 0
+        x = (np.concatenate([s for s in sets if len(s)], dtype=np.uint64)
+             if nonempty.any() else np.array([], dtype=np.uint64))
+        sigs = np.full((len(self.a), n), _P31, dtype=np.int64)
+        if len(x):
+            xi = (x % np.uint64(_P31)).astype(np.int64)
+            H = (self.a[:, None] * xi[None, :] + self.b[:, None]) % _P31
+            offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+            sigs[:, nonempty] = np.minimum.reduceat(H, offsets, axis=1)
+        # vectorized band hash: FNV-style fold over the band's rows
+        S = sigs.astype(np.uint64).reshape(self.bands, self.rows_per_band, n)
+        bh = np.full((self.bands, n), 0xcbf29ce484222325, dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            bh = (bh ^ S[:, r, :]) * np.uint64(0x100000001b3)
+        ids_np = batch[self.id_col].to_numpy(zero_copy_only=False)
         return pa.table({
-            "id": pa.array(ids),
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(bhashes, pa.int64()),
+            "id": pa.array(np.tile(ids_np, self.bands)),
+            "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
         })
 
 

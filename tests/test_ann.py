@@ -59,3 +59,25 @@ class TestAnn:
         # neighbors correlate with the query's bucket, so recall beats
         # random (10/300) by a wide margin
         assert np.mean(recalls) > 0.2
+
+    def test_ivf_recall_floor(self):
+        import ray
+        from moonlink_ray.stages.ann import ivf_topk, train_centroids
+        M = _data()
+        qids = [0, 1, 2, 3]
+        qref = ray.put({"ids": np.array(qids), "mat": M[qids]})
+        C = train_centroids(M, n_centroids=8, seed=11)
+        got = ivf_topk(_ds(M), qref, centroids=C, nprobe=3, k=K).to_pandas()
+        want = _exact_topk(M, qids, K)
+        recalls = []
+        for q in qids:
+            g = set(got[got["query_id"] == q]["vec_id"])
+            recalls.append(len(g & set(want[q])) / K)
+        # probing 3/8 lists must beat the random floor comfortably
+        assert np.mean(recalls) > 0.5
+
+    def test_ivf_centroids_deterministic(self):
+        from moonlink_ray.stages.ann import train_centroids
+        M = _data()
+        assert np.array_equal(train_centroids(M, 8, seed=11),
+                              train_centroids(M, 8, seed=11))

@@ -71,3 +71,31 @@ class TestDedup:
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
         assert (3, 7) in got
         assert len(got) == 1
+
+    def test_ngram_jaccard_pairs_vs_bruteforce(self):
+        import itertools
+        pairs = dedup.ngram_jaccard_pairs(
+            _ds(), threshold_permille=400).to_pandas()
+        got = {(a, b): j for a, b, j in
+               zip(pairs["a"], pairs["b"], pairs["jac_permille"])}
+        # brute-force reference over gram string sets
+        def grams(s):
+            w = s.lower().split()
+            return set(" ".join(w[i:i + 3]) for i in range(len(w) - 2)) \
+                if len(w) >= 3 else set()
+        want = {}
+        for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            jac = int(np.floor(1000.0 * len(ga & gb) / len(ga | gb)))
+            if jac >= 400:
+                want[(a, b)] = jac
+        assert got == want
+        assert (0, 3) in got and got[(0, 3)] == 1000  # exact dup
+
+    def test_ngram_max_df_drops_hot_grams(self):
+        # with max_df=1 every gram bucket is dropped -> no pairs
+        pairs = dedup.ngram_jaccard_pairs(
+            _ds(), threshold_permille=0, max_df=1).to_pandas()
+        assert len(pairs) == 0
