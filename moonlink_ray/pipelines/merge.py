@@ -265,7 +265,10 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             dv_metas[m.fragment_id] = m
 
     # -- stage 2: bucketed fold of CDC rows -> survivor fragments
-    B = num_buckets or int(np.clip(n_ops // 2000 + 1, 1, 512))
+    # bucket count scales with BOTH the CDC size (bounded fold state per
+    # bucket) and the cluster width (a 4N cluster folds 4x as wide)
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    B = num_buckets or int(np.clip(max(n_ops // 2000, n_cpus), 1, 4096))
     done_buckets = {rec["bucket"] for k, rec in done.items()
                     if k.startswith("bucket-")}
     new_metas: list[FragmentMeta] = []

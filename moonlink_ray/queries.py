@@ -37,7 +37,7 @@ from .pipelines.compact import CompactionConfig, compact
 from .pipelines.expire import expire
 from .pipelines.merge import merge
 from .sources.scan import scan_arrow
-from .stages import dedup, text
+from .stages import default_concurrency, dedup, text
 from .stages.ann import (brute_force_topk, ivf_topk, lsh_topk,
                          make_hyperplanes, train_centroids)
 from .stages.multimodal import ImageDecodeStats, ImagePhash, ImageResize
@@ -154,7 +154,7 @@ def img_decode_stats(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
     ds = ds.map_batches(ImageDecodeStats, batch_format="pyarrow",
-                        batch_size=64, concurrency=2)
+                        batch_size=64, concurrency=default_concurrency())
     return ds.select_columns(["image_id", "decoded_w", "decoded_h"])
 
 
@@ -165,7 +165,7 @@ def img_phash_check(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
     ds = ds.map_batches(ImagePhash, batch_format="pyarrow",
-                        batch_size=64, concurrency=2)
+                        batch_size=64, concurrency=default_concurrency())
     return ds.select_columns(["image_id", "phash", "phash_check"])
 
 
@@ -176,7 +176,7 @@ def img_resize(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
     ds = ds.map_batches(ImageResize, batch_format="pyarrow",
-                        batch_size=64, concurrency=2,
+                        batch_size=64, concurrency=default_concurrency(),
                         fn_constructor_kwargs=dict(out_w=64, out_h=64))
     return ds.select_columns(["image_id", "w", "h", "fmt"])
 

@@ -16,6 +16,8 @@ as MERGE key pruning.
 
 from __future__ import annotations
 
+from . import default_concurrency
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -61,7 +63,8 @@ def brute_force_topk(ds, queries_ref, *, k: int = 10, id_col: str = "vec_id",
     """Global cosine top-k per query. Ties broken by ascending vec_id
     (deterministic). Returns Dataset(query_id, vec_id, cosine)."""
     partials = ds.map_batches(
-        BruteForceTopK, batch_format="pyarrow", batch_size=4096, concurrency=2,
+        BruteForceTopK, batch_format="pyarrow", batch_size=4096,
+        concurrency=default_concurrency(),
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k + 1,
                                    id_col=id_col, emb_col=emb_col))
 

@@ -28,21 +28,35 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from . import default_concurrency
 from .keys import stable_hash_strings
 
+_GB_BUCKETS = 64  # shuffle buckets for per-key grouping (see note below)
+
+# NOTE on groupby granularity: Ray's ``groupby(k).map_groups(fn)`` calls
+# the Python fn once per DISTINCT key — with ~n distinct keys that is n
+# Python calls and dominates wall time. Every high-cardinality grouping
+# here therefore shuffles on ``hash(key) % _GB_BUCKETS`` and runs ONE
+# vectorized pandas callback per bucket (pandas groupby/drop_duplicates
+# inside), which is also the right shape at 10^12 rows: bounded task
+# count, bounded per-task state.
+
+
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup: stable content hash per batch, hash-partition, keep
-    the minimum-id row per identical content. Returns the surviving rows."""
+    """Exact dedup: stable content hash per batch, hash-partition by
+    bucket, keep the minimum-id row per identical content."""
     def add_hash(batch: pa.Table) -> pa.Table:
         h = stable_hash_strings(batch[text_col]).astype(np.int64)
-        return batch.append_column("_h", pa.array(h, pa.int64()))
+        batch = batch.append_column("_h", pa.array(h, pa.int64()))
+        return batch.append_column(
+            "_gb", pa.array((h % _GB_BUCKETS).astype(np.int64), pa.int64()))
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def first(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.sort_values(id_col).drop_duplicates("_h", keep="first")
 
     out = ds.map_batches(add_hash, batch_format="pyarrow")
-    return out.groupby("_h").map_groups(first, batch_format="pandas") \
-        .drop_columns(["_h"])
+    return out.groupby("_gb").map_groups(first, batch_format="pandas") \
+        .drop_columns(["_h", "_gb"])
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
@@ -141,22 +155,35 @@ class MinHashStage:
 
 
 def candidate_pairs_from_bands(band_ds):
-    """groupby (band, band_hash) -> unique candidate id pairs (a < b)."""
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["id"]))
+    """(band, band_hash) buckets -> unique candidate id pairs (a < b).
+
+    Shuffles on hash(band, band_hash) % _GB_BUCKETS; inside each bucket
+    only rows whose (band, band_hash) is duplicated are iterated — the
+    vast majority of band hashes are unique and are filtered out
+    vectorized."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return batch.append_column(
+            "_gb", pa.array((h % _GB_BUCKETS).astype(np.int64), pa.int64()))
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = bucket["id"].iloc[:0]
+        dup = bucket[bucket.duplicated(["band", "band_hash"], keep=False)]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        # keep column dtypes stable across (possibly empty) groups
-        empty = group["id"].iloc[:0]
+        for _, g in dup.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(set(g["id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({
             "a": pd.Series(out_a, dtype=empty.dtype),
             "b": pd.Series(out_b, dtype=empty.dtype)})
 
-    return band_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    bucketed = band_ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed.groupby("_gb").map_groups(pairs, batch_format="pandas")
 
 
 def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
@@ -169,7 +196,7 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
 
     band_ds = ds.map_batches(
         MinHashStage, batch_format="pyarrow", batch_size=512,
-        concurrency=2,
+        concurrency=default_concurrency(),
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k))
@@ -185,9 +212,19 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
         batch = batch.assign(jaccard=jac)
         return batch[batch["jaccard"] >= verify_threshold]
 
-    # dedupe candidate pairs across bands before the (expensive) verify
-    uniq = cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # dedupe candidate pairs across bands before the (expensive) verify:
+    # bucket on hash(a) so identical pairs co-locate, drop_duplicates
+    # vectorized per bucket (same _GB_BUCKETS rationale as above)
+    def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(_gb=pd.Series([], dtype=np.int64))
+        h = pd.util.hash_pandas_object(batch["a"], index=False).to_numpy()
+        return batch.assign(_gb=(h % _GB_BUCKETS).astype(np.int64))
+
+    uniq = cand.map_batches(add_pb, batch_format="pandas") \
+        .groupby("_gb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns="_gb"),
+            batch_format="pandas")
     return uniq.map_batches(verify, batch_format="pandas")
 
 
@@ -237,22 +274,30 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
     size_rows = ds.map_batches(sizes, batch_format="pyarrow").take_all()
     sizes_ref = ray.put({r["id"]: r["n"] for r in size_rows})
 
-    grams = ds.map_batches(explode, batch_format="pyarrow")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "_gb", pa.array((h % _GB_BUCKETS).astype(np.int64), pa.int64()))
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["id"]))
-        empty = group["id"].iloc[:0]
-        if max_df is not None and len(ids) > max_df:
-            ids = []
+    grams = ds.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow")
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = bucket["id"].iloc[:0]
+        dup = bucket[bucket.duplicated("g", keep=False)]
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        for _, g in dup.groupby("g", sort=False):
+            ids = sorted(set(g["id"]))
+            if max_df is not None and len(ids) > max_df:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame({"a": pd.Series(out_a, dtype=empty.dtype),
                              "b": pd.Series(out_b, dtype=empty.dtype)})
 
-    pair_rows = grams.groupby("g").map_groups(pairs, batch_format="pandas")
+    pair_rows = grams.groupby("_gb").map_groups(pairs, batch_format="pandas")
     inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
