@@ -212,19 +212,29 @@ def compact(root: str, *, mode: str = "best_effort",
 
     if todo_groups:
         import ray
-        plan_ref = ray.put(plan)  # broadcast once, fetched per actor
-        n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = cfg.reencode_concurrency or max(
-            1, min(len(todo_groups), n_cpus))
+        plan_ref = ray.put(plan)  # broadcast once, fetched per worker
         ds = rd.from_items([{"group": g} for g in todo_groups],
                            override_num_blocks=len(todo_groups))
-        written = ds.map_batches(
-            CompactGroupTask, batch_format="pyarrow", batch_size=1,
-            concurrency=concurrency,
-            fn_constructor_kwargs=dict(
-                root=root, run_id=run_id, plan_ref=plan_ref,
-                target_bytes=cfg.output_target_bytes,
-                verify_psnr_db=cfg.verify_psnr_db))
+        kwargs = dict(root=root, run_id=run_id, plan_ref=plan_ref,
+                      target_bytes=cfg.output_target_bytes,
+                      verify_psnr_db=cfg.verify_psnr_db)
+        if cfg.reencode_concurrency:
+            # explicit actor pool (the right shape when per-worker state
+            # is expensive, e.g. a real codec/model load)
+            written = ds.map_batches(
+                CompactGroupTask, batch_format="pyarrow", batch_size=1,
+                concurrency=cfg.reencode_concurrency,
+                fn_constructor_kwargs=kwargs)
+        else:
+            # default: task pool. Group state is cheap (a ray.get of the
+            # broadcast plan from the local object store), and tasks
+            # reach full cluster width immediately, while actor pools
+            # pay a cold-start ramp per fresh worker process.
+            def run_group(batch: pa.Table) -> pa.Table:
+                return CompactGroupTask(**kwargs)(batch)
+
+            written = ds.map_batches(run_group, batch_format="pyarrow",
+                                     batch_size=1)
         for r in written.take_all():
             new_metas.append(FragmentMeta.from_dict(json.loads(r["meta"])))
 

@@ -37,13 +37,25 @@ from .pipelines.compact import CompactionConfig, compact
 from .pipelines.expire import expire
 from .pipelines.merge import merge
 from .sources.scan import scan_arrow
-from .stages import default_concurrency, dedup, text
+from .stages import dedup, text
 from .stages.ann import (brute_force_topk, ivf_topk, lsh_topk,
                          make_hyperplanes, train_centroids)
 from .stages.multimodal import ImageDecodeStats, ImagePhash, ImageResize
 from .stages.relational import broadcast_join, partial_groupby_sum
 
-DATA_ROOT = "/tmp/mlray"
+# Fixture/table root. Default to tmpfs when available: the sandbox has
+# ONE shared disk (~130 MB/s), so an on-disk bench measures disk, not
+# the engine — on a real N-node cluster every node brings its own
+# disks + page cache, i.e. storage bandwidth scales with compute, which
+# RAM-backed storage emulates honestly on one box.
+def _pick_data_root() -> str:
+    env = os.environ.get("MLRAY_DATA_ROOT")
+    if env:
+        return env
+    return "/dev/shm/mlray" if os.access("/dev/shm", os.W_OK) else "/tmp/mlray"
+
+
+DATA_ROOT = _pick_data_root()
 ORACLE_SF = "sf0.01"  # correctness runs at this scale; SQL paths pin it
 
 
@@ -56,6 +68,10 @@ def _rows_for_sf(sf_dir: str) -> int:
         sf = float(_sf_name(sf_dir)[2:])
     except ValueError:
         sf = 0.01
+    if sf >= 0.1:
+        # bench scale: enough per-stage work that fixed Ray latencies
+        # (~2-3 s/stage) stop compressing the 8-vs-32-CPU ratio
+        return 30_000
     return int(np.clip(int(150_000 * sf), 300, 20_000))
 
 
@@ -108,12 +124,13 @@ def _fresh_copy(fix: dict, tag: str) -> str:
     return dst
 
 
-# bench/oracle compaction config: every base fragment (~75 MB at bench
-# scale) is a victim, one fragment per output group -> full parallel
-# re-encode rewrite with #groups ~ #fragments >= CPUs
+# bench/oracle compaction config: every base fragment is a victim ->
+# full re-encode rewrite. Output groups are kept small (32 MiB) so the
+# group count stays well above the CPU count — with groups ~= CPUs the
+# wall clock degenerates to the single slowest group (long-tail bound).
 _COMPACT_CFG = CompactionConfig(min_victims=2,
                                 small_file_bytes=256 * 1024 * 1024,
-                                output_target_bytes=128 * 1024 * 1024)
+                                output_target_bytes=32 * 1024 * 1024)
 
 
 # ------------------------------------------------------------ maintenance
@@ -153,8 +170,13 @@ def img_decode_stats(sf_dir: str):
     from .sources.scan import scan
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
-    ds = ds.map_batches(ImageDecodeStats, batch_format="pyarrow",
-                        batch_size=64, concurrency=default_concurrency())
+    # batch_size=None: one fragment block per call — a row-count batch
+    # size here would bundle the scan's META rows after operator fusion
+    # and serialize the whole stage. Instance (not class) => task pool:
+    # decode state is cheap, and tasks reach full width immediately
+    # while actor pools pay a cold-start ramp per worker.
+    ds = ds.map_batches(ImageDecodeStats(), batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["image_id", "decoded_w", "decoded_h"])
 
 
@@ -164,8 +186,8 @@ def img_phash_check(sf_dir: str):
     from .sources.scan import scan
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
-    ds = ds.map_batches(ImagePhash, batch_format="pyarrow",
-                        batch_size=64, concurrency=default_concurrency())
+    ds = ds.map_batches(ImagePhash(), batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["image_id", "phash", "phash_check"])
 
 
@@ -175,9 +197,8 @@ def img_resize(sf_dir: str):
     from .sources.scan import scan
     fix = ensure_images_fixture(sf_dir)
     ds = scan(fix["root"], version=1)
-    ds = ds.map_batches(ImageResize, batch_format="pyarrow",
-                        batch_size=64, concurrency=default_concurrency(),
-                        fn_constructor_kwargs=dict(out_w=64, out_h=64))
+    ds = ds.map_batches(ImageResize(out_w=64, out_h=64),
+                        batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["image_id", "w", "h", "fmt"])
 
 

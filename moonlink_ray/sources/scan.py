@@ -42,7 +42,14 @@ def _reader(root: str, columns: list[str] | None, with_pos: bool, with_frag: boo
 def scan(root: str, version: int | None = None, columns: list[str] | None = None,
          *, with_pos: bool = False, with_frag: bool = False,
          fragments: list[FragmentMeta] | None = None):
-    """Dataset over the live rows of a snapshot (or an explicit fragment list)."""
+    """Dataset over the live rows of a snapshot (or an explicit fragment list).
+
+    FUSION CAVEAT: the returned Dataset is built from one META row per
+    fragment; Ray fuses a downstream ``map_batches(fn, batch_size=k)``
+    with the reader, so ``k`` then counts META rows (fragments), not
+    image rows — a small k silently bundles many fragments into one
+    task and serializes the stage. Downstream stages over a scan MUST
+    use ``batch_size=None`` (one fragment block per task)."""
     import ray.data as rd
 
     if fragments is None:

@@ -16,8 +16,6 @@ as MERGE key pruning.
 
 from __future__ import annotations
 
-from . import default_concurrency
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -62,11 +60,13 @@ def brute_force_topk(ds, queries_ref, *, k: int = 10, id_col: str = "vec_id",
                      emb_col: str = "embedding", exclude_self: bool = True):
     """Global cosine top-k per query. Ties broken by ascending vec_id
     (deterministic). Returns Dataset(query_id, vec_id, cosine)."""
+    # instance => task pool: per-worker state is one local-object-store
+    # ray.get of the broadcast queries, so tasks beat an actor pool's
+    # cold-start ramp (see stages/__init__.default_concurrency)
     partials = ds.map_batches(
-        BruteForceTopK, batch_format="pyarrow", batch_size=4096,
-        concurrency=default_concurrency(),
-        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k + 1,
-                                   id_col=id_col, emb_col=emb_col))
+        BruteForceTopK(queries_ref=queries_ref, k=k + 1,
+                       id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", batch_size=4096)
 
     def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group

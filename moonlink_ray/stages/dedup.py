@@ -28,7 +28,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from . import default_concurrency
 from .keys import stable_hash_strings
 
 _GB_BUCKETS = 64  # shuffle buckets for per-key grouping (see note below)
@@ -195,11 +194,9 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
     import ray
 
     band_ds = ds.map_batches(
-        MinHashStage, batch_format="pyarrow", batch_size=512,
-        concurrency=default_concurrency(),
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k))
+        MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                     bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs_from_bands(band_ds)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
