@@ -101,7 +101,7 @@ def bench_once() -> dict:
     total = sum(stages.values())
     suite = {"stages": stages, "suite_sec": total, "images": reps[0]["images"],
              "images_per_sec": round(reps[0]["images"] / total, 1)}
-    qb = run_query_benches()
+    qb = {} if os.environ.get("GRAFT_SUITE_ONLY") else run_query_benches()
     result = {
         "metric": "maintenance suite (merge+compact+cluster+expire) wall sec",
         "value": round(suite["suite_sec"], 3),
@@ -117,17 +117,49 @@ def bench_once() -> dict:
 
 
 def run_child(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+               GRAFT_SUITE_ONLY="1")
+    # pin the whole child (and its inherited Ray workers) to ncpu
+    # physical cores: the N-CPU leg then IS an N-core machine — no
+    # thread pool (Arrow/numpy/zlib) can leak extra cores into it
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if hasattr(os, "sched_getaffinity") and ncpu < len(os.sched_getaffinity(0)):
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+    out = subprocess.run(cmd, env=env,
                          capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])
+
+
+_SUITE_STAGES = ("merge", "compact", "cluster", "expire")
+
+
+def combine_legs(legs: list[dict]) -> dict:
+    """Per-stage minimum across a leg's children (the engine's cost;
+    the sandbox's ambient +/-40% noise decorrelates across the ~10-min
+    gaps between interleaved children, so the min converges)."""
+    out = dict(legs[0])
+    stages = {k: min(l["queries"][k] for l in legs) for k in _SUITE_STAGES}
+    other = {k: min(l["queries"].get(k, v) for l in legs)
+             for k, v in legs[0]["queries"].items() if k not in _SUITE_STAGES}
+    total = sum(stages.values())
+    out["queries"] = {**stages, **other}
+    out["value"] = round(total, 3)
+    out["images_per_sec"] = round(out["images"] / total, 1)
+    out["children"] = len(legs)
+    return out
 
 
 def main():
     if "--scaling" in sys.argv:
         lo_n, hi_n = 8, 32
-        lo = run_child(lo_n)
-        hi = run_child(hi_n)
+        # interleave the parallelism levels (lo, hi, lo, hi): ambient VM
+        # noise persists for minutes, so adjacent same-level children
+        # would sample the same weather — interleaving decorrelates it
+        samples = {lo_n: [], hi_n: []}
+        for n in (lo_n, hi_n, lo_n, hi_n):
+            samples[n].append(run_child(n))
+        lo = combine_legs(samples[lo_n])
+        hi = combine_legs(samples[hi_n])
         tp_lo = lo["images_per_sec"]
         tp_hi = hi["images_per_sec"]
         eff = (tp_hi / tp_lo) / (hi_n / lo_n)
@@ -141,10 +173,16 @@ def main():
         }
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/scaling_latest.json", "w") as f:
-            json.dump({"lo": lo, "hi": hi, "scaling": result}, f, indent=1)
+            json.dump({"lo": lo, "hi": hi, "raw": samples_json(samples),
+                       "scaling": result}, f, indent=1)
         print(json.dumps(result))
     else:
         print(json.dumps(bench_once()))
+
+
+def samples_json(samples: dict) -> dict:
+    return {str(n): [{"value": r["value"], "queries": r["queries"]}
+                     for r in legs] for n, legs in samples.items()}
 
 
 if __name__ == "__main__":

@@ -21,6 +21,25 @@ Everything flows through ``ray.data.Dataset`` with zero-copy Arrow batches.
 
 __version__ = "0.1.0"
 
+# Optional cap for Arrow's internal thread pools (MLRAY_ARROW_CPUS=n).
+# Ray pins OMP_NUM_THREADS=1 per worker but Arrow's compute/IO pools
+# default to os.cpu_count(); on a machine shared beyond the Ray session
+# that can leak parallelism. Default: uncapped — the scaling bench pins
+# each parallelism level to a physical core set with sched_setaffinity
+# instead (bench.py run_child), which bounds ALL thread pools honestly
+# and lets exchange-heavy stages use intra-task Arrow threads.
+import os as _os
+
+_arrow_cap = int(_os.environ.get("MLRAY_ARROW_CPUS", "0"))
+if _arrow_cap > 0:
+    try:
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(_arrow_cap)
+        _pa.set_io_thread_count(max(2, _arrow_cap))
+    except Exception:
+        pass
+
 IMAGE_SCHEMA_COLUMNS = [
     "image_id",  # string, the MERGE identity key
     "bytes",     # binary, encoded image payload

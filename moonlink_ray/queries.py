@@ -303,6 +303,51 @@ def rel_anti_join(sf_dir: str):
     return semi_anti_filter(ds, ref, col="o_custkey", anti=True)
 
 
+def rel_asof_join(sf_dir: str):
+    """As-of join: each event matched to the customer's most recent
+    order on/before the event timestamp (broadcast right side,
+    merge_asof per batch — no shuffle). Date emitted as epoch days so
+    both engines hash identically."""
+    import ray
+    from .stages.temporal import asof_join
+    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_custkey", "o_orderdate"]).to_pandas()
+    od["rt"] = pd.to_datetime(od["o_orderdate"])
+    ref = ray.put(od[["o_custkey", "rt"]])
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join(ds, ref, left_on="ts", right_on="rt",
+                    by_left="user_id", by_right="o_custkey",
+                    right_cols=["rt"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["rt"] - pd.Timestamp("1970-01-01")).dt.days
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "asof_days": days.astype("Int64")})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def rel_sessionize(sf_dir: str):
+    """Gap-based sessionization (1 h) of the event stream, then session
+    sizes — the bucketed-exchange pattern end-to-end."""
+    from .stages.relational import partial_groupby_sum
+    from .stages.temporal import sessionize
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    sess = sessionize(ds, key_col="user_id", ts_col="ts",
+                      gap_us=3_600_000_000)
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"session_id": df["session_id"],
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    counted = sess.map_batches(ones, batch_format="pandas")
+    out = partial_groupby_sum(counted, ["session_id"], ["one"],
+                              count_col=None)
+    return out.map_batches(lambda d: d.rename(columns={"one": "n"}),
+                           batch_format="pandas")
+
+
 def rel_topk(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -497,6 +542,8 @@ def queries():
         "rel_broadcast_join": rel_broadcast_join,
         "rel_semi_join": rel_semi_join,
         "rel_anti_join": rel_anti_join,
+        "rel_asof_join": rel_asof_join,
+        "rel_sessionize": rel_sessionize,
         "rel_topk": rel_topk,
         "rel_distinct": rel_distinct,
         "rel_last_event_per_user": rel_last_event_per_user,
@@ -597,6 +644,30 @@ def oracle_sql():
             FROM inter JOIN sizes sa ON sa.doc_id = a
                        JOIN sizes sb ON sb.doc_id = b
             WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500""",
+        "rel_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   CAST(datediff('day', DATE '1970-01-01', o.o_orderdate)
+                        AS BIGINT) AS asof_days
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)""",
+        "rel_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 3600000000
+                     THEN 1 ELSE 0 END AS s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            c AS (SELECT user_id, ts,
+                         SUM(s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT CAST(user_id AS VARCHAR) || '#' ||
+                   CAST(sid - 1 AS VARCHAR) AS session_id,
+                   COUNT(*) AS n
+            FROM c GROUP BY 1""",
         "rel_topk": """
             SELECT o_orderkey, o_custkey,
                    CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
