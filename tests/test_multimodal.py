@@ -50,3 +50,24 @@ def test_actor_pool_plumbing(tmp_table):
                                      batch_size=32, concurrency=2)
     out = ds.select_columns(["image_id", "decoded_w"]).to_pandas()
     assert len(out) == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStubContracts:
+    def test_audio_stub_contract(self):
+        import pyarrow as pa
+        from moonlink_ray.stages.multimodal import AudioFeatureStub
+        stub = AudioFeatureStub()
+        # schema contract is declared even though decode is stubbed
+        assert [n for n, _ in stub.OUTPUT_FIELDS] == [
+            "sample_rate", "duration_s", "rms", "mfcc"]
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            stub(pa.table({"bytes": pa.array([b"x"], pa.binary())}))
+
+    def test_video_stub_contract(self):
+        import pyarrow as pa
+        from moonlink_ray.stages.multimodal import VideoFrameSampleStub
+        stub = VideoFrameSampleStub(n_frames=4)
+        assert stub.n_frames == 4
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            stub(pa.table({"bytes": pa.array([b"x"], pa.binary())}))
