@@ -254,15 +254,14 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             dv_metas[f.fragment_id] = FragmentMeta.from_dict(rec["meta"])
         else:
             todo.append(f)
-    if todo:
+    def run_dv_stage() -> list:
+        if not todo:
+            return []
         keys_ref = ray.put(tombstones)
         items = [{"meta": json.dumps(asdict(f))} for f in todo]
         ds = rd.from_items(items, override_num_blocks=len(items))
-        rows = ds.map_batches(_DVUpdate(root, run_id, keys_ref), batch_size=1,
+        return ds.map_batches(_DVUpdate(root, run_id, keys_ref), batch_size=1,
                               batch_format="pyarrow").take_all()
-        for r in rows:
-            m = FragmentMeta.from_dict(json.loads(r["meta"]))
-            dv_metas[m.fragment_id] = m
 
     # -- stage 2: bucketed fold of CDC rows -> survivor fragments
     # bucket count scales with BOTH the CDC size (bounded fold state per
@@ -287,11 +286,26 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             batch = batch.filter(pa.array(keep))
         return batch
 
-    cdc = rd.read_parquet(cdc_paths)
-    cdc = cdc.map_batches(prep, batch_format="pyarrow")
-    folded = cdc.groupby("_bucket").map_groups(
-        _BucketMerge(root, run_id, floor_lsn), batch_format="pyarrow")
-    for r in folded.take_all():
+    def run_fold_stage() -> list:
+        cdc = rd.read_parquet(cdc_paths)
+        cdc = cdc.map_batches(prep, batch_format="pyarrow")
+        folded = cdc.groupby("_bucket").map_groups(
+            _BucketMerge(root, run_id, floor_lsn), batch_format="pyarrow")
+        return folded.take_all()
+
+    # stages 1 and 2 are independent until the commit fold (the DV pass
+    # touches only base fragments, the fold only CDC rows) — run their
+    # Ray pipelines concurrently so neither's fixed latency serializes
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        dv_fut = ex.submit(run_dv_stage)
+        fold_fut = ex.submit(run_fold_stage)
+        dv_rows = dv_fut.result()
+        fold_rows = fold_fut.result()
+    for r in dv_rows:
+        m = FragmentMeta.from_dict(json.loads(r["meta"]))
+        dv_metas[m.fragment_id] = m
+    for r in fold_rows:
         new_metas.append(FragmentMeta.from_dict(json.loads(r["meta"])))
 
     # -- commit
