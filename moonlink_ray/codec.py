@@ -83,11 +83,18 @@ def reencode(buf: bytes, fmt: str) -> bytes:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB between two uint8 arrays (inf if equal)."""
+    """Peak signal-to-noise ratio in dB between two uint8 arrays (inf if equal).
+
+    One float32 temporary + a BLAS dot instead of three float64 arrays:
+    this runs per image in the compaction verify hot path, and the VM's
+    page-fault bandwidth (not FLOPs) is the scarce resource. float32
+    accumulation error (~1e-3 relative on a 1e11 sum) is far inside the
+    40 dB gate's ~6 dB margin.
+    """
     if a.shape != b.shape:
         raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
-    diff = a.astype(np.float64) - b.astype(np.float64)
-    mse = float(np.mean(diff * diff))
+    d = np.subtract(a, b, dtype=np.float32).ravel()
+    mse = float(np.dot(d, d)) / d.size
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
