@@ -348,6 +348,31 @@ def rel_sessionize(sf_dir: str):
                            batch_format="pandas")
 
 
+def rel_union(sf_dir: str):
+    """Union of two filtered streams (Dataset.union keeps both lazy)."""
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hi = hi.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+    lo = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lo = lo.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "5-LOW")),
+        batch_format="pyarrow")
+    return hi.union(lo)
+
+
+def rel_sample(sf_dir: str):
+    """Deterministic 1-in-10 sample by key modulo — reproducible across
+    engines (random_sample would not hash-compare)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = t["l_orderkey"].to_numpy(zero_copy_only=False) % 10 == 0
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def rel_topk(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -544,6 +569,8 @@ def queries():
         "rel_anti_join": rel_anti_join,
         "rel_asof_join": rel_asof_join,
         "rel_sessionize": rel_sessionize,
+        "rel_union": rel_union,
+        "rel_sample": rel_sample,
         "rel_topk": rel_topk,
         "rel_distinct": rel_distinct,
         "rel_last_event_per_user": rel_last_event_per_user,
@@ -644,6 +671,15 @@ def oracle_sql():
             FROM inter JOIN sizes sa ON sa.doc_id = a
                        JOIN sizes sb ON sb.doc_id = b
             WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500""",
+        "rel_union": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderpriority = '5-LOW'""",
+        "rel_sample": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey % 10 = 0""",
         "rel_asof_join": """
             SELECT e.event_id, e.user_id,
                    CAST(datediff('day', DATE '1970-01-01', o.o_orderdate)
