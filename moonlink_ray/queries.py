@@ -20,6 +20,7 @@ perturb the driver's value hash.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -135,25 +136,53 @@ _COMPACT_CFG = CompactionConfig(min_victims=2,
 
 # ------------------------------------------------------------ maintenance
 
+def _digest_bytes(t: pa.Table) -> pa.Table:
+    """Replace the binary ``bytes`` payload with (bytes_md5, bytes_len).
+
+    Query outputs must be driver-canonicalizable: the external harness
+    sorts pandas object columns before value-hashing, and a raw
+    bytearray column is unhashable there. So maintenance scans ship a
+    digest per row, never the payload — which is also the only sane
+    shape at 10^12 images (the driver must never hold image bytes).
+    Mirrored in the DuckDB oracles as md5(hex(bytes)) /
+    octet_length(bytes); Python's b.hex().upper() matches DuckDB hex().
+    """
+    data = t["bytes"].to_pylist()
+    md5 = [hashlib.md5(b.hex().upper().encode()).hexdigest() for b in data]
+    ln = [len(b) for b in data]
+    t = t.remove_column(t.schema.get_field_index("bytes"))
+    t = t.append_column("bytes_md5", pa.array(md5, pa.string()))
+    return t.append_column("bytes_len", pa.array(ln, pa.int64()))
+
+
+def _scan_digested(root: str):
+    """Post-maintenance scan as a Dataset of digest rows: the bytes
+    column is reduced to (md5, len) inside map_batches, in parallel,
+    so only fixed-width rows ever reach the driver."""
+    from .sources.scan import scan
+    return scan(root).map_batches(_digest_bytes, batch_format="pyarrow",
+                                  batch_size=None)
+
+
 def maint_merge(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "merge")
     merge(root, fix["cdc"])
-    return scan_arrow(root)
+    return _scan_digested(root)
 
 
 def maint_compact(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "compact")
     compact(root, cfg=_COMPACT_CFG)
-    return scan_arrow(root)
+    return _scan_digested(root)
 
 
 def maint_cluster(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "cluster")
     cluster(root)
-    return scan_arrow(root)
+    return _scan_digested(root)
 
 
 def maint_expire(sf_dir: str):
@@ -162,7 +191,7 @@ def maint_expire(sf_dir: str):
     merge(root, fix["cdc"])
     compact(root, cfg=_COMPACT_CFG)
     expire(root, keep_last=1)
-    return scan_arrow(root)
+    return _scan_digested(root)
 
 
 def img_decode_stats(sf_dir: str):
@@ -393,15 +422,25 @@ def rel_distinct(sf_dir: str):
 
 def rel_last_event_per_user(sf_dir: str):
     """Streaming-shaped: last event per user (the MERGE fold over an
-    event log, keyed by user, ordered by (ts, event_id))."""
+    event log, keyed by user, ordered by (ts, event_id)).
+
+    Shuffles on hash(user_id) % B buckets and folds each bucket with ONE
+    vectorized sort+drop_duplicates — never ``groupby(user).map_groups``
+    (one Python call per DISTINCT user = 10^8 calls at scale)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    buckets = 64
 
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).tail(1)
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
+        return df.assign(_gb=(h % buckets).astype(np.int64))
 
-    out = ds.groupby("user_id").map_groups(last, batch_format="pandas")
-    return out.map_batches(lambda d: d[["user_id", "event_id", "event_type"]],
-                           batch_format="pandas")
+    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.drop_duplicates("user_id", keep="last")
+        return g[["user_id", "event_id", "event_type"]]
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_gb").map_groups(last_per_user, batch_format="pandas")
 
 
 def rel_window_tumbling(sf_dir: str):
@@ -499,8 +538,12 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_embedding(sf_dir: str):
+    # threshold 0.4: the synthetic embeddings' within-label cosine tops
+    # out at ~0.475, so 0.95 would compare empty sets (vacuous pass);
+    # 0.4 yields a non-empty pair set with >1e-3 margin to the nearest
+    # boundary value on both sides (no float-tie risk vs the oracle)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    pairs = dedup.embedding_dup_pairs(ds, threshold=0.95)
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.4)
     df = pairs.to_pandas()
     if len(df) == 0:  # keep a concrete (a, b) schema even when empty
         df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -594,6 +637,12 @@ def queries():
 _MAINT_BASE = f"'{DATA_ROOT}/{ORACLE_SF}/images_base.parquet'"
 _MAINT_CDC = f"'{DATA_ROOT}/{ORACLE_SF}/cdc.parquet'"
 
+# digest projection: the engine side ships (md5, len) instead of the
+# binary payload (see _digest_bytes); hex() in DuckDB is uppercase,
+# matching Python's b.hex().upper()
+_DIGEST_COLS = ("image_id, md5(hex(bytes)) AS bytes_md5, "
+                "octet_length(bytes) AS bytes_len, w, h, fmt, caption, phash")
+
 _MERGED_SQL = f"""
 WITH cdc AS (SELECT * FROM read_parquet({_MAINT_CDC})),
 base AS (SELECT * FROM read_parquet({_MAINT_BASE})),
@@ -601,11 +650,13 @@ lastop AS (SELECT *, row_number() OVER (PARTITION BY image_id
                                       ORDER BY _lsn DESC, _seq DESC) rn
          FROM cdc),
 fin AS (SELECT image_id, bytes, w, h, fmt, caption, phash, _op
-        FROM lastop WHERE rn = 1)
-SELECT image_id, bytes, w, h, fmt, caption, phash FROM fin WHERE _op <> 'delete'
-UNION ALL
-SELECT b.image_id, b.bytes, b.w, b.h, b.fmt, b.caption, b.phash FROM base b
-WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.image_id = b.image_id)
+        FROM lastop WHERE rn = 1),
+merged AS (
+  SELECT image_id, bytes, w, h, fmt, caption, phash FROM fin WHERE _op <> 'delete'
+  UNION ALL
+  SELECT b.image_id, b.bytes, b.w, b.h, b.fmt, b.caption, b.phash FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.image_id = b.image_id))
+SELECT {_DIGEST_COLS} FROM merged
 """
 
 _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
@@ -615,9 +666,9 @@ _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
 def oracle_sql():
     return {
         "maint_merge": _MERGED_SQL,
-        "maint_compact": f"SELECT image_id, bytes, w, h, fmt, caption, phash "
+        "maint_compact": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
-        "maint_cluster": f"SELECT image_id, bytes, w, h, fmt, caption, phash "
+        "maint_cluster": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
         "maint_expire": _MERGED_SQL,
         "rel_groupby_agg": """
@@ -636,6 +687,9 @@ def oracle_sql():
                    COUNT(*) AS n
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "img_decode_stats": f"""
+            SELECT image_id, w AS decoded_w, h AS decoded_h
+            FROM read_parquet({_MAINT_BASE})""",
         "img_phash_check": f"""
             SELECT image_id, phash, phash AS phash_check
             FROM read_parquet({_MAINT_BASE})""",
@@ -739,7 +793,7 @@ def oracle_sql():
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.95""",
+                                         b.embedding::DOUBLE[]) >= 0.4""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id < 4),

@@ -353,6 +353,9 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
             empty = group[id_col].iloc[:0]
             return pd.DataFrame({"a": empty, "b": empty.copy(),
                                  "cosine": pd.Series([], dtype=np.float64)})
+        # sort by id so triu emission guarantees a < b regardless of the
+        # row order Ray's groupby happened to deliver the block in
+        group = group.sort_values(id_col)
         ids = group[id_col].to_numpy()
         M = np.vstack(group[emb_col].to_numpy()).astype(np.float64)
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

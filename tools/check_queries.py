@@ -32,10 +32,12 @@ def to_pandas(res):
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Mimic the driver's canonicalizer EXACTLY: sort_values over raw
+    # object columns. Deliberately NO bytes->hex rescue — a query that
+    # returns a binary column must crash here, because it crashes in
+    # the driver (round-1 lesson: a local-only rescue masked four
+    # driver 'unhashable bytearray' errors).
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].map(
-            lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
     df = df.astype({c: "object" for c in df.columns})
     return df.sort_values(list(df.columns), ignore_index=True)
 
