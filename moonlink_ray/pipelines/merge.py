@@ -244,6 +244,25 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
 
     done = read_lineage(root, run_id)
 
+    # -- bucket count: scales with BOTH the CDC size (bounded fold state
+    # per bucket) and the cluster width (a 4N cluster folds 4x as wide).
+    # Pinned in a run-level lineage record on the FIRST invocation: a
+    # resume after a kill may see a different cluster width, and a
+    # recomputed B would silently re-partition keys across buckets,
+    # dropping/duplicating CDC rows against the done-bucket checkpoints.
+    params = done.get("params")
+    if params:
+        B = int(params["num_buckets"])
+        if num_buckets is not None and num_buckets != B:
+            raise ValueError(
+                f"resume of run {run_id} pinned num_buckets={B}, "
+                f"got {num_buckets}")
+    else:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        B = num_buckets or int(np.clip(max(n_ops // 2000, n_cpus), 1, 4096))
+        write_lineage(root, run_id, "params",
+                      {"kind": "merge-params", "num_buckets": B})
+
     # -- stage 1: DV tombstones on affected base fragments
     dv_metas: dict[str, FragmentMeta] = {}
     affected = _affected_fragments(snap, tombstones) if len(tombstones) else []
@@ -264,10 +283,6 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                               batch_format="pyarrow").take_all()
 
     # -- stage 2: bucketed fold of CDC rows -> survivor fragments
-    # bucket count scales with BOTH the CDC size (bounded fold state per
-    # bucket) and the cluster width (a 4N cluster folds 4x as wide)
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    B = num_buckets or int(np.clip(max(n_ops // 2000, n_cpus), 1, 4096))
     done_buckets = {rec["bucket"] for k, rec in done.items()
                     if k.startswith("bucket-")}
     new_metas: list[FragmentMeta] = []

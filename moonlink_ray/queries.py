@@ -511,15 +511,9 @@ def text_rolling_fp(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
-    import ray
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs["doc_id"].to_pylist(),
-                                 docs["text"].to_pylist())))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
-                                      verify_threshold=0.5,
-                                      texts_ref=texts_ref)
+                                      verify_threshold=0.5)
     return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
 
 
@@ -715,9 +709,13 @@ def oracle_sql():
               FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
               WHERE len(w) >= 3),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            -- mirror of the engine's max_df=1000 skew guard: grams
+            -- shared by >1000 docs contribute no pair evidence
+            hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000),
             inter AS (
               SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
               FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              WHERE x.g NOT IN (SELECT g FROM hot)
               GROUP BY 1, 2)
             SELECT a, b,
                    CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)

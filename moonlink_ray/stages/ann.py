@@ -43,12 +43,16 @@ class BruteForceTopK:
         M = _norm_rows(M.astype(np.float64))
         S = self.Q @ M.T  # (nq, batch)
         k = min(self.k, S.shape[1])
-        top = np.argpartition(-S, k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(S.shape[0]):
+            # deterministic local cut: exact lexsort on (-cosine, id) so
+            # a cosine tie at the k-boundary resolves identically to the
+            # oracle's ORDER BY sim DESC, vec_id regardless of block
+            # membership (argpartition alone would keep an arbitrary one)
+            top = np.lexsort((ids, -S[qi]))[:k]
             out_q.extend([self.qids[qi]] * k)
-            out_v.extend(ids[top[qi]])
-            out_s.extend(S[qi, top[qi]])
+            out_v.extend(ids[top])
+            out_s.extend(S[qi, top])
         return pa.table({
             "query_id": pa.array(np.asarray(out_q, dtype=np.int64)),
             "vec_id": pa.array(np.asarray(out_v, dtype=np.int64)),

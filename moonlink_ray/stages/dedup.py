@@ -16,10 +16,11 @@ Five families, each shaped for Ray Data streaming execution:
   bucket) pairwise cosine inside ``map_groups`` — numpy matmul per
   block, never an O(n^2) global join.
 
-Scale notes: verification fetches texts via a broadcast dict here
-(testdata is small); at 100 TB the verify stage is a hash-join of the
-candidate-pair list back to the corpus on id — the pair list is tiny
-relative to the corpus, so it broadcasts.
+Scale notes: verify stages never hold the corpus. The candidate-pair
+list (tiny by LSH/blocking design) is semi-joined back to the corpus on
+id — only texts/gram-counts of docs that appear in a pair are fetched
+and broadcast, so driver + per-worker state is O(candidates), not
+O(corpus).
 """
 
 from __future__ import annotations
@@ -185,29 +186,44 @@ def candidate_pairs_from_bands(band_ds):
     return bucketed.groupby("_gb").map_groups(pairs, batch_format="pandas")
 
 
+def gather_texts(ds, ids: np.ndarray, *, id_col="doc_id", text_col="text"):
+    """Semi-join the corpus down to ``ids`` and return {id: text}.
+
+    The needed-id set is broadcast (O(candidates), tiny); the corpus
+    streams through a vectorized filter and only matching rows reach the
+    driver — never the corpus itself. This is the scale-safe verify
+    fetch: driver + broadcast state is proportional to the candidate
+    pair list, not the 100-TB corpus."""
+    import ray
+
+    ids_ref = ray.put(np.sort(ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        got = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, got, side="left").clip(0, len(want) - 1)
+        return batch.filter(pa.array(want[pos] == got)) \
+            .select([id_col, text_col])
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    return {r[id_col]: r[text_col] for r in rows}
+
+
 def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
                         num_perm=64, bands=16, shingle_k=3,
-                        verify_threshold=0.8, texts_ref=None):
+                        verify_threshold=0.8):
     """Full MinHash-LSH near-dup pipeline -> verified pairs Dataset
-    (columns a, b, jaccard). ``texts_ref`` is a ray.put({id: text})
-    broadcast used by the verify stage (see module docstring)."""
+    (columns a, b, jaccard). The verify stage joins the (tiny) candidate
+    pair list back to the corpus: only texts of docs that appear in a
+    candidate pair are ever fetched or broadcast (see gather_texts)."""
     import ray
+    import ray.data as rd
 
     band_ds = ds.map_batches(
         MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
                      bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs_from_bands(band_ds)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch.assign(jaccard=pd.Series([], dtype=np.float64))
-        texts = ray.get(texts_ref)
-        batch = batch.drop_duplicates()
-        jac = [jaccard(texts[a], texts[b], shingle_k)
-               for a, b in zip(batch["a"], batch["b"])]
-        batch = batch.assign(jaccard=jac)
-        return batch[batch["jaccard"] >= verify_threshold]
 
     # dedupe candidate pairs across bands before the (expensive) verify:
     # bucket on hash(a) so identical pairs co-locate, drop_duplicates
@@ -222,7 +238,30 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
         .groupby("_gb").map_groups(
             lambda g: g.drop_duplicates(["a", "b"]).drop(columns="_gb"),
             batch_format="pandas")
-    return uniq.map_batches(verify, batch_format="pandas")
+
+    # candidate pairs are tiny relative to the corpus by LSH design —
+    # collect them, fetch ONLY the texts they reference, verify
+    # distributed with the small dict broadcast
+    pair_df = uniq.to_pandas()
+    if len(pair_df) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+            "jaccard": pd.Series([], dtype=np.float64)}))
+    need = np.unique(np.concatenate([pair_df["a"].to_numpy(),
+                                     pair_df["b"].to_numpy()]))
+    texts_ref = ray.put(gather_texts(ds, need, id_col=id_col,
+                                     text_col=text_col))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(jaccard=pd.Series([], dtype=np.float64))
+        texts = ray.get(texts_ref)
+        jac = [jaccard(texts[a], texts[b], shingle_k)
+               for a, b in zip(batch["a"], batch["b"])]
+        batch = batch.assign(jaccard=jac)
+        return batch[batch["jaccard"] >= verify_threshold]
+
+    return rd.from_pandas(pair_df).map_batches(verify, batch_format="pandas")
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -238,15 +277,20 @@ def gram_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
-                        threshold_permille=500, max_df: int | None = None):
+                        threshold_permille=500, max_df: int | None = 1000):
     """Exact n-gram Jaccard near-dup pairs via gram blocking.
 
     explode (gram_hash, id) -> groupby(gram) -> pair rows -> count shared
-    grams per pair -> jaccard from per-doc gram counts (broadcast dict;
-    at corpus scale this becomes a hash-join of the tiny pair list back
-    on id). ``max_df`` drops grams shared by more than max_df docs (the
-    standard skew guard at scale; None = exact). Returns Dataset
-    (a, b, jac_permille) with jac_permille = floor(1000*|∩|/|∪|) >=
+    grams per pair -> jaccard from per-doc gram counts, where the gram
+    counts are computed ONLY for docs that appear in a candidate pair
+    (semi-join of the pair-id set back to the corpus — driver/broadcast
+    state is O(candidate pairs), never O(corpus)). ``max_df`` drops
+    grams shared by more than max_df docs: without it one ubiquitous
+    gram (a stop-phrase at web scale) creates a quadratic bucket —
+    max_df=1000 bounds any gram's pair fan-out at ~500k while leaving
+    genuine near-dup evidence (rare shared grams) untouched. Pass None
+    for the exact small-data setting. Returns Dataset (a, b,
+    jac_permille) with jac_permille = floor(1000*|∩|/|∪|) >=
     threshold_permille.
     """
     import ray
@@ -261,15 +305,6 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
             out_g.extend(g.astype(np.int64))
         return pa.table({"id": pa.array(out_ids),
                          "g": pa.array(out_g, pa.int64())})
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        n = [len(gram_hashes(t, k)) for t in batch[text_col].to_pylist()]
-        return pa.table({"id": batch[id_col],
-                         "n": pa.array(n, pa.int64())})
-
-    # per-doc gram counts: tiny (one int per doc) -> broadcast
-    size_rows = ds.map_batches(sizes, batch_format="pyarrow").take_all()
-    sizes_ref = ray.put({r["id"]: r["n"] for r in size_rows})
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = batch["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -295,7 +330,38 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
                              "b": pd.Series(out_b, dtype=empty.dtype)})
 
     pair_rows = grams.groupby("_gb").map_groups(pairs, batch_format="pandas")
-    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+    # materialize once: the aggregated pair table (bounded by candidate
+    # pairs) is consumed twice below — without this the whole
+    # explode+shuffle would re-execute per consumer
+    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i")) \
+        .materialize()
+
+    # per-doc gram counts for ONLY the docs that appear in a pair
+    def pair_ids(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"id": pd.concat([batch["a"], batch["b"]], ignore_index=True)})
+
+    uniq_ids = inter.map_batches(pair_ids, batch_format="pandas") \
+        .unique("id") or []  # unique() is None on an empty dataset
+    need = np.sort(np.array(sorted(uniq_ids)))
+    if len(need) == 0:
+        return inter.map_batches(
+            lambda b: b[["a", "b"]].assign(
+                jac_permille=pd.Series([], dtype=np.int64)),
+            batch_format="pandas")
+    need_ref = ray.put(need)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        got = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, got, side="left").clip(0, len(want) - 1)
+        batch = batch.filter(pa.array(want[pos] == got))
+        n = [len(gram_hashes(t, k)) for t in batch[text_col].to_pylist()]
+        return pa.table({"id": batch[id_col],
+                         "n": pa.array(n, pa.int64())})
+
+    size_rows = ds.map_batches(sizes, batch_format="pyarrow").take_all()
+    sizes_ref = ray.put({r["id"]: r["n"] for r in size_rows})
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:

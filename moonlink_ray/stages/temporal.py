@@ -61,7 +61,11 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_us: int,
 
     def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values([key_col, ts_col], kind="mergesort")
-        ts = b[ts_col].astype("int64")
+        # normalize to microseconds explicitly: depending on the
+        # pyarrow->pandas conversion the column may arrive as
+        # datetime64[ns] (coerce_temporal_nanoseconds), and a raw int64
+        # view would then compare nanoseconds against a gap in micros
+        ts = b[ts_col].astype("datetime64[us]").astype("int64")
         new_key = b[key_col].ne(b[key_col].shift())
         gap = ts.diff().gt(gap_us)
         start = (new_key | gap)

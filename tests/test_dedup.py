@@ -26,15 +26,19 @@ class TestDedup:
         assert list(out["doc_id"]) == [0, 1, 2, 4, 5]  # 3 deduped into 0
 
     def test_minhash_lsh_pairs(self):
-        import ray
-        texts_ref = ray.put({i: t for i, t in DOCS})
         pairs = dedup.minhash_dedup_pairs(
-            _ds(), verify_threshold=0.5, texts_ref=texts_ref,
+            _ds(), verify_threshold=0.5,
             num_perm=64, bands=32).to_pandas()
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
         assert (0, 3) in got          # exact dup always caught
         assert (0, 1) in got or (1, 3) in got  # near-dup caught
         assert (0, 2) not in got
+
+    def test_gather_texts_is_candidate_bounded(self):
+        # the verify fetch must return ONLY the requested ids — the
+        # no-O(corpus)-driver-state contract of the dedup verify stages
+        out = dedup.gather_texts(_ds(), np.array([1, 4]))
+        assert out == {1: DOCS[1][1], 4: DOCS[4][1]}
 
     def test_jaccard_exact(self):
         assert dedup.jaccard(DOCS[0][1], DOCS[3][1]) == 1.0
