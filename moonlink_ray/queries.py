@@ -194,6 +194,24 @@ def maint_expire(sf_dir: str):
     return _scan_digested(root)
 
 
+# fixed phash probe range (~1/8 of the uniform int64 phash domain):
+# deterministic at every scale, always a nonempty strict subset
+_PRUNE_PHASH = (0, 2 ** 61)
+
+
+def maint_scan_prune(sf_dir: str):
+    """Predicate-pushdown read: Z-order cluster the table, then scan a
+    phash range — zone maps drop non-intersecting fragments before any
+    byte is read, the read path Z-order clustering exists to serve."""
+    from .sources.scan import scan
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "scanprune")
+    cluster(root)
+    ds = scan(root, predicate={"phash": _PRUNE_PHASH})
+    return ds.map_batches(_digest_bytes, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def img_decode_stats(sf_dir: str):
     """Multimodal plumbing: actor-pool decode over the image table."""
     from .sources.scan import scan
@@ -596,6 +614,7 @@ def queries():
         "maint_compact": maint_compact,
         "maint_cluster": maint_cluster,
         "maint_expire": maint_expire,
+        "maint_scan_prune": maint_scan_prune,
         "img_decode_stats": img_decode_stats,
         "img_phash_check": img_phash_check,
         "img_resize": img_resize,
@@ -665,6 +684,9 @@ def oracle_sql():
         "maint_cluster": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
         "maint_expire": _MERGED_SQL,
+        "maint_scan_prune": f"SELECT {_DIGEST_COLS} "
+                            f"FROM read_parquet({_MAINT_BASE}) "
+                            f"WHERE phash BETWEEN 0 AND {2 ** 61}",
         "rel_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,

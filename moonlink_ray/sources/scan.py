@@ -25,12 +25,32 @@ from ..fragments import read_fragment
 from ..manifest import FragmentMeta, Snapshot, load
 
 
-def _reader(root: str, columns: list[str] | None, with_pos: bool, with_frag: bool):
+def _row_filter(t: pa.Table, predicate: dict) -> pa.Table:
+    """Exact residual filter: zone maps prune whole fragments, this
+    removes the remaining out-of-range rows (applied after the DV mask
+    so deletion positions stay consistent)."""
+    mask = None
+    for col, (lo, hi) in predicate.items():
+        if col not in t.column_names:
+            continue
+        if lo is not None:
+            m = pc.greater_equal(t[col], lo)
+            mask = m if mask is None else pc.and_(mask, m)
+        if hi is not None:
+            m = pc.less_equal(t[col], hi)
+            mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask) if mask is not None else t
+
+
+def _reader(root: str, columns: list[str] | None, with_pos: bool,
+            with_frag: bool, predicate: dict | None = None):
     def read(batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             meta = FragmentMeta.from_dict(json.loads(row["meta"]))
             t = read_fragment(root, meta, columns=columns, with_pos=with_pos)
+            if predicate:
+                t = _row_filter(t, predicate)
             if with_frag:
                 t = t.append_column(
                     "_frag", pa.array([meta.fragment_id] * t.num_rows, pa.string()))
@@ -39,10 +59,43 @@ def _reader(root: str, columns: list[str] | None, with_pos: bool, with_frag: boo
     return read
 
 
+def prune_fragments(fragments: list[FragmentMeta],
+                    predicate: dict) -> list[FragmentMeta]:
+    """Zone-map pruning: keep only fragments whose per-column [min, max]
+    stats can intersect ``predicate`` ({col: (lo, hi)}, either bound
+    None = unbounded). The batch analog of moonlink's persisted-index
+    probe on the read path (``/root/reference/src/moonlink/src/storage/
+    index/persisted_bucket_hash_map.rs:116-203``): after Z-order
+    clustering, a tight key range touches a small fraction of fragments.
+    Columns without stats never prune (safe fallback to a full scan).
+    """
+    keep = []
+    for f in fragments:
+        ok = True
+        for col, (lo, hi) in predicate.items():
+            rng = f.stats.get(col)
+            if not rng or f.rows == 0:
+                continue
+            if (lo is not None and rng[1] < lo) or \
+               (hi is not None and rng[0] > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    return keep
+
+
 def scan(root: str, version: int | None = None, columns: list[str] | None = None,
          *, with_pos: bool = False, with_frag: bool = False,
-         fragments: list[FragmentMeta] | None = None):
+         fragments: list[FragmentMeta] | None = None,
+         predicate: dict | None = None):
     """Dataset over the live rows of a snapshot (or an explicit fragment list).
+
+    ``predicate`` ({col: (lo, hi)} inclusive ranges) is pushed down two
+    ways: fragments whose zone maps cannot intersect it are never read
+    (see prune_fragments — this is what Z-order clustering exists to
+    serve), and surviving fragments get an exact vectorized residual
+    filter after the DV mask.
 
     FUSION CAVEAT: the returned Dataset is built from one META row per
     fragment; Ray fuses a downstream ``map_batches(fn, batch_size=k)``
@@ -54,11 +107,13 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
 
     if fragments is None:
         fragments = load(root, version).fragments
+    if predicate:
+        fragments = prune_fragments(fragments, predicate)
     metas = [{"meta": json.dumps(asdict(f))} for f in fragments]
     if not metas:
         return rd.from_items([])
     ds = rd.from_items(metas, override_num_blocks=len(metas))
-    return ds.map_batches(_reader(root, columns, with_pos, with_frag),
+    return ds.map_batches(_reader(root, columns, with_pos, with_frag, predicate),
                           batch_size=1, batch_format="pyarrow")
 
 
