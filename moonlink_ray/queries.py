@@ -544,9 +544,13 @@ def dedup_ngram(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
+    """SimHash banding near-dup pairs (banding recall is exact for
+    hamming <= bands-1; verify is exact hamming — rows-only check,
+    pytest holds the brute-force parity proof)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(dedup.simhash_stage, batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "simhash"])
+    pairs = dedup.simhash_dedup_pairs(ds, hamming_max=3, bands=4)
+    return pairs.map_batches(lambda d: d[["a", "b", "hamming"]],
+                             batch_format="pandas")
 
 
 def dedup_embedding(sf_dir: str):

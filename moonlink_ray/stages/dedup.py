@@ -154,13 +154,18 @@ class MinHashStage:
         })
 
 
-def candidate_pairs_from_bands(band_ds):
+def candidate_pairs_from_bands(band_ds, *, max_bucket: int | None = 2000):
     """(band, band_hash) buckets -> unique candidate id pairs (a < b).
 
     Shuffles on hash(band, band_hash) % _GB_BUCKETS; inside each bucket
-    only rows whose (band, band_hash) is duplicated are iterated — the
+    only rows whose (band, band_hash) is duplicated are touched — the
     vast majority of band hashes are unique and are filtered out
-    vectorized."""
+    vectorized; pair emission per colliding signature is a numpy
+    triu_indices take, not a Python loop. ``max_bucket`` skips
+    signatures shared by more than that many docs (the LSH skew guard:
+    one degenerate signature — e.g. all-empty docs — would otherwise
+    emit a quadratic pair set; a signature shared by >2000 docs is a
+    dup-cluster whose pairs carry no marginal information)."""
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = (batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
              * np.uint64(0x9E3779B97F4A7C15)
@@ -173,21 +178,24 @@ def candidate_pairs_from_bands(band_ds):
         dup = bucket[bucket.duplicated(["band", "band_hash"], keep=False)]
         out_a, out_b = [], []
         for _, g in dup.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(set(g["id"]))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
+            ids = np.unique(np.asarray(sorted(set(g["id"]))))
+            if len(ids) < 2 or (max_bucket and len(ids) > max_bucket):
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
         return pd.DataFrame({
-            "a": pd.Series(out_a, dtype=empty.dtype),
-            "b": pd.Series(out_b, dtype=empty.dtype)})
+            "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
+            "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype)})
 
     bucketed = band_ds.map_batches(add_bucket, batch_format="pyarrow")
     return bucketed.groupby("_gb").map_groups(pairs, batch_format="pandas")
 
 
-def gather_texts(ds, ids: np.ndarray, *, id_col="doc_id", text_col="text"):
-    """Semi-join the corpus down to ``ids`` and return {id: text}.
+def gather_column(ds, ids: np.ndarray, *, id_col="doc_id", col="text"):
+    """Semi-join the corpus down to ``ids`` and return {id: col value}.
 
     The needed-id set is broadcast (O(candidates), tiny); the corpus
     streams through a vectorized filter and only matching rows reach the
@@ -203,10 +211,30 @@ def gather_texts(ds, ids: np.ndarray, *, id_col="doc_id", text_col="text"):
         got = batch[id_col].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(want, got, side="left").clip(0, len(want) - 1)
         return batch.filter(pa.array(want[pos] == got)) \
-            .select([id_col, text_col])
+            .select([id_col, col])
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
-    return {r[id_col]: r[text_col] for r in rows}
+    return {r[id_col]: r[col] for r in rows}
+
+
+def gather_texts(ds, ids: np.ndarray, *, id_col="doc_id", text_col="text"):
+    return gather_column(ds, ids, id_col=id_col, col=text_col)
+
+
+def dedupe_pairs(cand):
+    """Drop duplicate (a, b) candidate rows (a pair surfaces once per
+    colliding band): bucket on hash(a) so identical pairs co-locate,
+    one vectorized drop_duplicates per bucket (_GB_BUCKETS rationale)."""
+    def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(_gb=pd.Series([], dtype=np.int64))
+        h = pd.util.hash_pandas_object(batch["a"], index=False).to_numpy()
+        return batch.assign(_gb=(h % _GB_BUCKETS).astype(np.int64))
+
+    return cand.map_batches(add_pb, batch_format="pandas") \
+        .groupby("_gb").map_groups(
+            lambda g: g.drop_duplicates(["a", "b"]).drop(columns="_gb"),
+            batch_format="pandas")
 
 
 def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
@@ -224,20 +252,7 @@ def minhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
                      bands=bands, shingle_k=shingle_k),
         batch_format="pyarrow", batch_size=512)
     cand = candidate_pairs_from_bands(band_ds)
-
-    # dedupe candidate pairs across bands before the (expensive) verify:
-    # bucket on hash(a) so identical pairs co-locate, drop_duplicates
-    # vectorized per bucket (same _GB_BUCKETS rationale as above)
-    def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch.assign(_gb=pd.Series([], dtype=np.int64))
-        h = pd.util.hash_pandas_object(batch["a"], index=False).to_numpy()
-        return batch.assign(_gb=(h % _GB_BUCKETS).astype(np.int64))
-
-    uniq = cand.map_batches(add_pb, batch_format="pandas") \
-        .groupby("_gb").map_groups(
-            lambda g: g.drop_duplicates(["a", "b"]).drop(columns="_gb"),
-            batch_format="pandas")
+    uniq = dedupe_pairs(cand)
 
     # candidate pairs are tiny relative to the corpus by LSH design —
     # collect them, fetch ONLY the texts they reference, verify
@@ -319,15 +334,17 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
         dup = bucket[bucket.duplicated("g", keep=False)]
         out_a, out_b = [], []
         for _, g in dup.groupby("g", sort=False):
-            ids = sorted(set(g["id"]))
-            if max_df is not None and len(ids) > max_df:
+            ids = np.unique(np.asarray(sorted(set(g["id"]))))
+            if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype=empty.dtype),
-                             "b": pd.Series(out_b, dtype=empty.dtype)})
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
+        return pd.DataFrame({
+            "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
+            "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype)})
 
     pair_rows = grams.groupby("_gb").map_groups(pairs, batch_format="pandas")
     # materialize once: the aggregated pair table (bounded by candidate
@@ -406,6 +423,57 @@ def simhash_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a.astype(np.uint64) ^ b.astype(np.uint64))
     return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+def simhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
+                        hamming_max: int = 3, bands: int = 4):
+    """SimHash near-dup pairs: 64-bit signature, ``bands`` x
+    (64/bands)-bit band buckets, exact hamming verify.
+
+    Pigeonhole guarantee: ``hamming_max`` bit flips touch at most
+    ``hamming_max`` bands, so any pair within ``hamming_max <= bands-1``
+    shares at least one identical band and surfaces as a candidate.
+    Only (id, band, band_hash) rows ever shuffle — never text. The
+    verify fetches signatures for candidate ids only (gather_column:
+    O(candidates) state) and filters by exact hamming distance.
+    Returns Dataset(a, b, hamming).
+    """
+    import ray.data as rd
+
+    assert 64 % bands == 0 and hamming_max <= bands - 1
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    sim = ds.map_batches(
+        lambda b: simhash_stage(b, text_col).select([id_col, "simhash"]),
+        batch_format="pyarrow").materialize()  # consumed twice (bands + verify)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        bh = np.concatenate([
+            ((h >> np.uint64(width * b)) & mask).astype(np.int64)
+            for b in range(bands)])
+        return pa.table({"id": pa.array(np.tile(ids, bands)),
+                         "band": pa.array(band),
+                         "band_hash": pa.array(bh, pa.int64())})
+
+    cand = candidate_pairs_from_bands(
+        sim.map_batches(band_rows, batch_format="pyarrow"))
+    pair_df = dedupe_pairs(cand).to_pandas()
+    if len(pair_df) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype=np.int64)}))
+    need = np.unique(np.concatenate([pair_df["a"].to_numpy(),
+                                     pair_df["b"].to_numpy()]))
+    sigs = gather_column(sim, need, id_col=id_col, col="simhash")
+    ham = hamming64(pair_df["a"].map(sigs).to_numpy(dtype=np.int64),
+                    pair_df["b"].map(sigs).to_numpy(dtype=np.int64))
+    out = pair_df.assign(hamming=ham)
+    return rd.from_pandas(out[out["hamming"] <= hamming_max])
 
 
 # ------------------------------------------------------- embedding cosine

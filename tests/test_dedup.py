@@ -62,6 +62,24 @@ class TestDedup:
         assert h[0] == h[3]
         assert d_near < d_far
 
+    def test_simhash_pairs_match_bruteforce(self):
+        # banding guarantees recall for hamming <= bands-1 and the
+        # verify is exact, so the pipeline must EQUAL brute force
+        import itertools
+        for hmax in (0, 3):
+            got_df = dedup.simhash_dedup_pairs(
+                _ds(), hamming_max=hmax, bands=4).to_pandas()
+            got = {tuple(sorted((a, b))): h for a, b, h in
+                   zip(got_df["a"], got_df["b"], got_df["hamming"])}
+            sigs = dedup.simhash64([t for _, t in DOCS])
+            want = {}
+            for i, j in itertools.combinations(range(len(DOCS)), 2):
+                h = dedup.hamming64(sigs[i:i + 1], sigs[j:j + 1])[0]
+                if h <= hmax:
+                    want[(DOCS[i][0], DOCS[j][0])] = h
+            assert got == want
+        assert (0, 3) in got  # exact dup pair at hamming 0
+
     def test_embedding_pairs(self):
         import ray.data as rd
         rng = np.random.default_rng(0)
