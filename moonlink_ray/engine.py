@@ -10,6 +10,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine cluster  --root T
     python -m moonlink_ray.engine expire   --root T --keep-last 2
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
+    python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
     python -m moonlink_ray.engine status   --root T
 
 Only this CLI owns the Ray session (guarded init).
@@ -53,6 +54,10 @@ def main(argv=None):
     s = add("scan")
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--out", required=True)
+    s = add("alter")
+    s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
+                   help="columns to add, e.g. tag:string score:float64")
+    s.add_argument("--drop", nargs="*", default=[], metavar="NAME")
     add("status")
     args = p.parse_args(argv)
 
@@ -100,6 +105,12 @@ def main(argv=None):
         ds = scan(args.root, version=args.snapshot)
         ds.write_parquet(args.out)
         out = {"rows": ds.count(), "out": args.out}
+    elif args.cmd == "alter":
+        from .schema import alter_table, table_schema
+        adds = [tuple(a.split(":", 1)) for a in args.add]
+        snap = alter_table(args.root, add=adds, drop=args.drop)
+        out = {"version": snap.version,
+               "columns": table_schema(snap).names}
     elif args.cmd == "status":
         snap = load(args.root)
         out = {"version": snap.version, "max_lsn": snap.max_lsn,

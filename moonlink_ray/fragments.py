@@ -39,7 +39,10 @@ def _col_stats(table: pa.Table) -> dict[str, list]:
         if col not in table.column_names or table.num_rows == 0:
             continue
         mm = pc.min_max(table[col])
-        stats[col] = [mm["min"].as_py(), mm["max"].as_py()]
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None:  # all-null column -> no zone map
+            continue
+        stats[col] = [lo, hi]
     return stats
 
 
@@ -68,10 +71,19 @@ def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
 
 
 def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = None,
-                  *, with_pos: bool = False, apply_dv: bool = True) -> pa.Table:
+                  *, with_pos: bool = False, apply_dv: bool = True,
+                  tolerant_columns: bool = False) -> pa.Table:
     """Read one fragment, optionally attaching ``_pos`` (row position in
-    the fragment file) and filtering out DV-deleted rows."""
-    table = pq.read_table(os.path.join(root, meta.path), columns=columns)
+    the fragment file) and filtering out DV-deleted rows.
+
+    ``tolerant_columns``: skip requested columns the file predates (a
+    fragment written before an ALTER ... ADD COLUMN lacks the new
+    column; the schema-aware scan null-fills it afterwards)."""
+    path = os.path.join(root, meta.path)
+    if columns is not None and tolerant_columns:
+        have = set(pq.read_schema(path).names)
+        columns = [c for c in columns if c in have]
+    table = pq.read_table(path, columns=columns)
     if with_pos or (apply_dv and meta.dv):
         pos = np.arange(table.num_rows, dtype=np.int64)
         if apply_dv and meta.dv:

@@ -70,6 +70,10 @@ class Snapshot:
     max_lsn: int
     fragments: list[FragmentMeta]
     job: dict[str, Any] = field(default_factory=dict)  # provenance of the commit
+    # active schema as [[name, type_name], ...]; None = bootstrap image
+    # schema (see schema.table_schema). Carried forward by every commit,
+    # changed only by alter_table.
+    schema: list | None = None
 
     def to_json(self) -> str:
         d = asdict(self)
@@ -133,20 +137,28 @@ class CommitConflict(RuntimeError):
     pass
 
 
+_INHERIT = object()
+
+
 def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
-           job: dict[str, Any], expected_parent: int | None = None) -> Snapshot:
+           job: dict[str, Any], expected_parent: int | None = None,
+           schema=_INHERIT) -> Snapshot:
     """Write snapshot v{N+1} and atomically swap the pointer.
 
     ``expected_parent`` implements the conditional-put check of
     moonlink's file catalog (``file_catalog.rs:259-280``): the commit
     fails rather than clobbering a concurrent writer's snapshot.
+    ``schema`` defaults to inheriting the parent snapshot's schema, so
+    maintenance commits carry an ALTERed schema forward automatically.
     """
     cur = current_version(root)
     if expected_parent is not None and cur != expected_parent:
         raise CommitConflict(f"expected parent v{expected_parent}, found v{cur}")
+    if schema is _INHERIT:
+        schema = load(root, cur).schema
     new_version = cur + 1
     snap = Snapshot(version=new_version, parent=cur, max_lsn=max_lsn,
-                    fragments=fragments, job=job)
+                    fragments=fragments, job=job, schema=schema)
     snap_path = os.path.join(root, "snapshots", f"v{new_version}.json")
     if os.path.exists(snap_path):
         raise CommitConflict(f"snapshot v{new_version} already exists")

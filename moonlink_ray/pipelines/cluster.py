@@ -160,6 +160,9 @@ def cluster(root: str, *, run_id: str | None = None,
         batch = batch.append_column("_salt", pa.array(salt, pa.int64()))
         return batch.append_column("_zb", pa.array(zb, pa.int64()))
 
+    from ..schema import table_schema
+    out_schema = table_schema(snap)
+
     def write_bucket(t: pa.Table) -> pa.Table:
         # zero-copy Arrow group (binary payloads never become pandas
         # objects); one call per range bucket
@@ -167,7 +170,7 @@ def cluster(root: str, *, run_id: str | None = None,
         t = t.take(pc.sort_indices(
             t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
                           ("image_id", "ascending")]))
-        out = t.select(IMAGES_SCHEMA.names).cast(IMAGES_SCHEMA)
+        out = t.select(out_schema.names).cast(out_schema)
         metas = []
         for n, chunk in enumerate(_chunk_by_bytes(out, fragment_target_bytes)):
             frag_id = f"frag-{run_id}-z{zb:05d}-{n:03d}"
@@ -177,7 +180,7 @@ def cluster(root: str, *, run_id: str | None = None,
             [json.dumps(asdict(m)) for m in metas], pa.string())})
 
     write_bucket.__name__ = "ClusterBucketWriter"
-    ds = scan(root, fragments=snap.fragments)
+    ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
     # batch_size=None: fuse-safe (see scan() docstring)
     ds = ds.map_batches(derive, batch_size=None, batch_format="pyarrow")
     rows = ds.groupby("_zb").map_groups(write_bucket, batch_format="pyarrow") \

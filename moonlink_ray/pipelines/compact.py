@@ -149,24 +149,30 @@ class CompactGroupTask:
     """
 
     def __init__(self, root: str, run_id: str, plan_ref,
-                 target_bytes: int, verify_psnr_db: float):
+                 target_bytes: int, verify_psnr_db: float,
+                 schema_list: list | None = None):
         import ray
+        from ..schema import schema_from_list
         self.root = root
         self.run_id = run_id
         self.plan = ray.get(plan_ref) if hasattr(plan_ref, "hex") else plan_ref
         self.target_bytes = target_bytes
         self.verify_psnr_db = verify_psnr_db
+        self.schema = schema_from_list(schema_list) or IMAGES_SCHEMA
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..schema import conform_table
         metas = []
         for gid in batch["group"].to_pylist():
             info = self.plan[gid]
             frags = [FragmentMeta.from_dict(d) for d in info["frags"]]
-            tables = [read_fragment(self.root, f) for f in frags]
+            # conform BEFORE concat: victims written under different
+            # schema versions (pre/post ALTER) unify on the current one
+            tables = [conform_table(read_fragment(self.root, f), self.schema,
+                                    keep_extra=()) for f in frags]
             group = pa.concat_tables(tables)
             group = group.take(pc.sort_indices(group["image_id"]))
-            out = group.select(IMAGES_SCHEMA.names).cast(IMAGES_SCHEMA)
-            out = reencode_table(out, self.verify_psnr_db)
+            out = reencode_table(group, self.verify_psnr_db)
             gmetas = []
             for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
                 frag_id = f"frag-{self.run_id}-g{gid:05d}-{n:03d}"
@@ -217,7 +223,8 @@ def compact(root: str, *, mode: str = "best_effort",
                            override_num_blocks=len(todo_groups))
         kwargs = dict(root=root, run_id=run_id, plan_ref=plan_ref,
                       target_bytes=cfg.output_target_bytes,
-                      verify_psnr_db=cfg.verify_psnr_db)
+                      verify_psnr_db=cfg.verify_psnr_db,
+                      schema_list=snap.schema)
         if cfg.reencode_concurrency:
             # explicit actor pool (the right shape when per-worker state
             # is expensive, e.g. a real codec/model load)

@@ -129,21 +129,29 @@ class _BucketMerge:
     """map_groups callable: one call per hash bucket -> fold + fragment
     write + lineage checkpoint. Returns one meta row per written fragment."""
 
-    def __init__(self, root: str, run_id: str, min_lsn_exclusive: int):
+    def __init__(self, root: str, run_id: str, min_lsn_exclusive: int,
+                 schema_list: list | None = None):
+        from ..schema import schema_from_list
         self.root = root
         self.run_id = run_id
         self.min_lsn = min_lsn_exclusive
+        self.schema = schema_from_list(schema_list) or IMAGES_SCHEMA
         self.__name__ = "BucketMerge"  # map_groups wraps fn by name
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ..schema import conform_table
         bucket = int(group["_bucket"][0].as_py())
         part_key = f"bucket-{bucket:05d}"
         survivors, max_lsn = _fold_bucket(group)
-        out = group.take(survivors).select(IMAGES_SCHEMA.names) \
-            if len(survivors) else None
+        out = None
+        if len(survivors):
+            # conform to the table's ACTIVE schema: columns ALTERed in
+            # after the CDC batch was produced are null-filled, dropped
+            # ones are hidden
+            out = conform_table(group.take(survivors), self.schema,
+                                keep_extra=())
         metas = []
         if out is not None and out.num_rows:
-            out = out.cast(IMAGES_SCHEMA)
             for n, chunk in enumerate(_chunk_by_bytes(out, _FRAGMENT_BYTES)):
                 frag_id = f"frag-{self.run_id}-b{bucket:05d}-{n:03d}"
                 metas.append(write_fragment(self.root, chunk, frag_id,
@@ -305,7 +313,8 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         cdc = rd.read_parquet(cdc_paths)
         cdc = cdc.map_batches(prep, batch_format="pyarrow")
         folded = cdc.groupby("_bucket").map_groups(
-            _BucketMerge(root, run_id, floor_lsn), batch_format="pyarrow")
+            _BucketMerge(root, run_id, floor_lsn, snap.schema),
+            batch_format="pyarrow")
         return folded.take_all()
 
     # stages 1 and 2 are independent until the commit fold (the DV pass

@@ -1,0 +1,119 @@
+"""Schema evolution: add/drop columns as metadata-only commits.
+
+The moonlink analog is ``AlterTableRequest {new_columns,
+dropped_columns}`` applied through the table-handler gate
+(``/root/reference/src/moonlink/src/storage/mooncake_table.rs:96-123``,
+gating at ``:572-607``). In this engine the active schema lives in the
+snapshot descriptor: an ALTER writes a new snapshot with the same
+fragment list and an updated schema — no data file is touched.
+Projection-on-read conforms every fragment to the reading snapshot's
+schema: columns added after a fragment was written are null-filled,
+dropped columns are projected away even though old immutable fragments
+still contain them. Snapshot isolation therefore extends to schema: a
+reader at version S sees S's columns, before and after any later ALTER.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .manifest import Snapshot, commit, load
+from .synth import IMAGES_SCHEMA
+
+# serializable type vocabulary for snapshot descriptors
+_TYPES = {
+    "string": pa.string(),
+    "binary": pa.binary(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "timestamp[us]": pa.timestamp("us"),
+}
+_TYPE_NAMES = {v: k for k, v in _TYPES.items()}
+
+# columns the engine itself depends on: the MERGE/dedup key, the image
+# payload, and the Z-order key components (keys.py zkey inputs)
+PROTECTED_COLUMNS = ("image_id", "bytes", "phash", "w", "h")
+
+
+def type_from_name(name: str) -> pa.DataType:
+    try:
+        return _TYPES[name]
+    except KeyError:
+        raise ValueError(f"unsupported column type {name!r}; "
+                         f"one of {sorted(_TYPES)}") from None
+
+
+def schema_to_list(schema: pa.Schema) -> list[list[str]]:
+    return [[f.name, _TYPE_NAMES[f.type]] for f in schema]
+
+
+def schema_from_list(lst: list | None) -> pa.Schema | None:
+    if lst is None:
+        return None
+    return pa.schema([(n, type_from_name(t)) for n, t in lst])
+
+
+def table_schema(snap: Snapshot) -> pa.Schema:
+    """The active schema of a snapshot (pre-evolution snapshots carry
+    none and default to the bootstrap image schema)."""
+    return schema_from_list(snap.schema) or IMAGES_SCHEMA
+
+
+def conform_table(t: pa.Table, schema: pa.Schema,
+                  keep_extra: tuple[str, ...] = ("_pos", "_frag")) -> pa.Table:
+    """Project a fragment table onto ``schema``: null-fill columns the
+    fragment predates, drop columns the schema no longer has (internal
+    scan columns in ``keep_extra`` survive), order per schema."""
+    cols, names = [], []
+    for f in schema:
+        if f.name in t.column_names:
+            cols.append(t[f.name].cast(f.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, f.type))
+        names.append(f.name)
+    for extra in keep_extra:
+        if extra in t.column_names:
+            cols.append(t[extra])
+            names.append(extra)
+    return pa.table(dict(zip(names, cols)))
+
+
+def alter_table(root: str, *, add: list[tuple[str, str]] | None = None,
+                drop: list[str] | None = None) -> Snapshot:
+    """Commit a schema change (metadata only; fragments untouched).
+
+    ``add``: [(name, type_name)] appended to the schema, null-filled on
+    read for every pre-existing fragment. ``drop``: column names removed
+    from the schema (projection-on-read hides them). Gated like the
+    reference's alter path: duplicate adds, unknown drops, and drops of
+    engine-critical columns (key / payload / cluster-key components)
+    are rejected before anything is written.
+    """
+    add = list(add or [])
+    drop = list(drop or [])
+    if not add and not drop:
+        raise ValueError("alter_table: nothing to do")
+    snap = load(root)
+    fields = list(table_schema(snap))
+    names = [f.name for f in fields]
+    for col in drop:
+        if col in PROTECTED_COLUMNS:
+            raise ValueError(f"cannot drop engine column {col!r}")
+        if col not in names:
+            raise ValueError(f"cannot drop unknown column {col!r}")
+    for name, _ in add:
+        if name in names or name in [a for a, _ in add if a != name]:
+            raise ValueError(f"column {name!r} already exists")
+    new_fields = [f for f in fields if f.name not in drop]
+    new_fields += [pa.field(n, type_from_name(t)) for n, t in add]
+    new_schema = pa.schema(new_fields)
+    return commit(root, snap.fragments, max_lsn=snap.max_lsn,
+                  job={"kind": "alter", "add": [[n, t] for n, t in add],
+                       "drop": sorted(drop)},
+                  schema=schema_to_list(new_schema),
+                  expected_parent=snap.version)

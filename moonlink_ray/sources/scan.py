@@ -43,12 +43,22 @@ def _row_filter(t: pa.Table, predicate: dict) -> pa.Table:
 
 
 def _reader(root: str, columns: list[str] | None, with_pos: bool,
-            with_frag: bool, predicate: dict | None = None):
+            with_frag: bool, predicate: dict | None = None,
+            schema_list: list | None = None):
     def read(batch: pa.Table) -> pa.Table:
+        from ..schema import conform_table, schema_from_list
+        schema = schema_from_list(schema_list)
+        if schema is not None and columns is not None:
+            schema = pa.schema([f for f in schema if f.name in columns])
         out = []
         for row in batch.to_pylist():
             meta = FragmentMeta.from_dict(json.loads(row["meta"]))
-            t = read_fragment(root, meta, columns=columns, with_pos=with_pos)
+            t = read_fragment(root, meta, columns=columns, with_pos=with_pos,
+                              tolerant_columns=schema is not None)
+            if schema is not None:
+                # projection-on-read: null-fill post-ALTER columns the
+                # fragment predates, hide dropped ones
+                t = conform_table(t, schema)
             if predicate:
                 t = _row_filter(t, predicate)
             if with_frag:
@@ -88,7 +98,7 @@ def prune_fragments(fragments: list[FragmentMeta],
 def scan(root: str, version: int | None = None, columns: list[str] | None = None,
          *, with_pos: bool = False, with_frag: bool = False,
          fragments: list[FragmentMeta] | None = None,
-         predicate: dict | None = None):
+         predicate: dict | None = None, schema_list: list | None = None):
     """Dataset over the live rows of a snapshot (or an explicit fragment list).
 
     ``predicate`` ({col: (lo, hi)} inclusive ranges) is pushed down two
@@ -106,14 +116,16 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
     import ray.data as rd
 
     if fragments is None:
-        fragments = load(root, version).fragments
+        snap = load(root, version)
+        fragments, schema_list = snap.fragments, snap.schema
     if predicate:
         fragments = prune_fragments(fragments, predicate)
     metas = [{"meta": json.dumps(asdict(f))} for f in fragments]
     if not metas:
         return rd.from_items([])
     ds = rd.from_items(metas, override_num_blocks=len(metas))
-    return ds.map_batches(_reader(root, columns, with_pos, with_frag, predicate),
+    return ds.map_batches(_reader(root, columns, with_pos, with_frag,
+                                  predicate, schema_list),
                           batch_size=1, batch_format="pyarrow")
 
 
@@ -121,8 +133,16 @@ def scan_arrow(root: str, version: int | None = None,
                columns: list[str] | None = None, *, sort_by: str | None = None,
                snapshot: Snapshot | None = None) -> pa.Table:
     """Driver-side scan into one Arrow table (tests/oracles; small data only)."""
+    from ..schema import conform_table, schema_from_list
     snap = snapshot if snapshot is not None else load(root, version)
-    tables = [read_fragment(root, f, columns=columns) for f in snap.fragments]
+    schema = schema_from_list(snap.schema)
+    if schema is not None and columns is not None:
+        schema = pa.schema([f for f in schema if f.name in columns])
+    tables = [read_fragment(root, f, columns=columns,
+                            tolerant_columns=schema is not None)
+              for f in snap.fragments]
+    if schema is not None:
+        tables = [conform_table(t, schema) for t in tables]
     tables = [t for t in tables if t.num_rows > 0]
     if not tables:
         empty = read_fragment(root, snap.fragments[0], columns=columns).slice(0, 0) \
