@@ -141,6 +141,59 @@ def register_parquet_files(root: str, paths: list[str], *,
                   expected_parent=parent)
 
 
+def append_dataset(root: str, data, *, run_id: str | None = None,
+                   max_lsn: int | None = None,
+                   fragment_target_bytes: int = 64 * 1024 * 1024):
+    """Append a Dataset (or Arrow table) to the table as new fragments.
+
+    The batch analog of moonlink's REST row ingest
+    (``/root/reference/src/moonlink_service/src/rest_api.rs:196-210``):
+    plain inserts, no key reconciliation — rows with existing keys
+    become duplicates exactly as repeated REST inserts would; use MERGE
+    for upsert semantics. Each input block is conformed to the table's
+    active schema (missing nullable columns null-filled, unknown
+    columns dropped), chunked to ``fragment_target_bytes`` of payload,
+    and written in parallel; one commit appends all fragments
+    atomically, so a killed run leaves the table at its prior snapshot
+    (plus harmless orphan files that expire's GC removes).
+    """
+    import uuid as _uuid
+
+    import ray.data as rd
+
+    from .schema import conform_table, table_schema
+
+    run_id = run_id or _uuid.uuid4().hex[:12]
+    snap = load(root)
+    schema = table_schema(snap)
+    lsn = snap.max_lsn if max_lsn is None else max_lsn
+    if isinstance(data, pa.Table):
+        data = rd.from_arrow(data)
+    if "image_id" not in data.schema().names:
+        raise ValueError("append requires the key column image_id")
+
+    from .pipelines.merge import _chunk_by_bytes
+
+    def write_blocks(batch: pa.Table) -> pa.Table:
+        batch = conform_table(batch, schema, keep_extra=())
+        metas = []
+        for chunk in _chunk_by_bytes(batch, fragment_target_bytes):
+            frag_id = f"frag-append-{run_id}-{_uuid.uuid4().hex[:10]}"
+            metas.append(write_fragment(root, chunk, frag_id,
+                                        lineage=[], max_lsn=lsn))
+        return pa.table({"meta": pa.array(
+            [json.dumps(asdict(m)) for m in metas], pa.string())})
+
+    rows = data.map_batches(write_blocks, batch_format="pyarrow").take_all()
+    new = [FragmentMeta.from_dict(json.loads(r["meta"])) for r in rows]
+    final = list(snap.fragments) + [m for m in new if m.rows > 0]
+    final.sort(key=lambda m: m.fragment_id)
+    return commit(root, final, max_lsn=max(snap.max_lsn, lsn),
+                  job={"kind": "append", "run_id": run_id,
+                       "fragments": len(new)},
+                  expected_parent=snap.version)
+
+
 def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
                       seed: int = synth.SEED + 1, start_lsn: int = 1_000,
                       force: bool = False) -> str:

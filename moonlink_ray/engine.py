@@ -5,6 +5,7 @@ surface ``moonlink_rpc/src/lib.rs:27-38``). Each subcommand is one
 maintenance job, designed to be launched via ``ray job submit``:
 
     python -m moonlink_ray.engine bootstrap --root T --rows 10000
+    python -m moonlink_ray.engine append   --root T --paths rows.parquet
     python -m moonlink_ray.engine merge    --root T --cdc c.parquet [--run-id R]
     python -m moonlink_ray.engine compact  --root T [--mode best_effort|force|full]
     python -m moonlink_ray.engine cluster  --root T
@@ -38,6 +39,10 @@ def main(argv=None):
     s = add("load-files")
     s.add_argument("--paths", required=True, nargs="+")
     s.add_argument("--max-lsn", type=int, default=0)
+    s = add("append")
+    s.add_argument("--paths", required=True, nargs="+")
+    s.add_argument("--max-lsn", type=int, default=None)
+    s.add_argument("--run-id", default=None)
     s = add("merge")
     s.add_argument("--cdc", required=True, nargs="+")
     s.add_argument("--run-id", default=None)
@@ -79,6 +84,13 @@ def main(argv=None):
         from .bootstrap import register_parquet_files
         snap = register_parquet_files(args.root, args.paths,
                                       max_lsn=args.max_lsn)
+        out = {"version": snap.version, "fragments": len(snap.fragments),
+               "rows": snap.total_rows}
+    elif args.cmd == "append":
+        import ray.data as rd
+        from .bootstrap import append_dataset
+        snap = append_dataset(args.root, rd.read_parquet(args.paths),
+                              run_id=args.run_id, max_lsn=args.max_lsn)
         out = {"version": snap.version, "fragments": len(snap.fragments),
                "rows": snap.total_rows}
     elif args.cmd == "merge":

@@ -249,6 +249,59 @@ def img_resize(sf_dir: str):
     return ds.select_columns(["image_id", "w", "h", "fmt"])
 
 
+def ensure_audio_fixture(sf_dir: str) -> str:
+    """Deterministic WAV clips (stdlib wave; sine of per-clip frequency)
+    as a cached (clip_id, freq_hz, bytes) parquet — no external data."""
+    import io
+    import wave
+    n = max(100, min(1000, _rows_for_sf(sf_dir) // 10))
+    path = os.path.join(DATA_ROOT, _sf_name(sf_dir), f"audio_{n}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sr, seconds = 8000, 0.25
+    t = np.arange(int(sr * seconds)) / sr
+    ids, freqs, blobs = [], [], []
+    for i in range(n):
+        freq = 100.0 + (i * 37) % 3000
+        pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(pcm.tobytes())
+        ids.append(f"clip-{i:06d}")
+        freqs.append(freq)
+        blobs.append(buf.getvalue())
+    tbl = pa.table({"clip_id": pa.array(ids), "freq_hz": pa.array(freqs),
+                    "bytes": pa.array(blobs, pa.binary())})
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def audio_features(sf_dir: str):
+    """WAV decode + feature extraction over an actor pool (stage is real:
+    stdlib wave + numpy). Centroid is emitted as an integer Hz so the
+    output is hash-stable; rows-only driver check (SQL cannot decode
+    WAV), pytest holds the sine-tone ground-truth proof."""
+    import ray.data as rd
+    from .stages.multimodal import AudioFeatures
+    path = ensure_audio_fixture(sf_dir)
+    ds = rd.read_parquet(path)
+    ds = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                        batch_size=64, concurrency=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cent = pc.cast(pc.round(t["spectral_centroid_hz"]), pa.int64())
+        t = t.append_column("centroid_hz", cent)
+        return t.select(["clip_id", "sample_rate", "n_channels",
+                         "centroid_hz"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- relational
 
 def _read(sf_dir, table, columns=None):
@@ -622,6 +675,7 @@ def queries():
         "img_decode_stats": img_decode_stats,
         "img_phash_check": img_phash_check,
         "img_resize": img_resize,
+        "audio_features": audio_features,
         "rel_groupby_agg": rel_groupby_agg,
         "rel_filter_project": rel_filter_project,
         "rel_broadcast_join": rel_broadcast_join,

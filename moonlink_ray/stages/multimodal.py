@@ -10,9 +10,11 @@ The sandbox has no PIL/libjpeg/ffmpeg, so:
   (``moonlink_ray.codec``) — the Ray-side plumbing (schema, batch
   size, actor signature, output layout) is what is being engineered
   and tested;
-- audio/video stages are clearly-marked stubs (NotImplementedError)
-  with the real signatures and output schemas a production build would
-  bind to ffmpeg/soundfile.
+- audio decode is REAL for WAV/PCM via stdlib ``wave`` + numpy
+  (AudioFeatures);
+- video remains a clearly-marked stub (frame sampling genuinely needs
+  ffmpeg) with the real signature and output schema a production build
+  would bind to.
 """
 
 from __future__ import annotations
@@ -82,19 +84,64 @@ class ImagePhash:
         return batch.append_column("phash_check", pa.array(ph, pa.int64()))
 
 
-class AudioFeatureStub:
-    """STUB (no audio libs in this container). Production: soundfile/
-    librosa decode in __init__-held context; per-batch output schema:
-    (sample_rate:int32, duration_s:float64, rms:float64,
-    mfcc:list<float>[13])."""
+class AudioFeatures:
+    """Actor-pool stage: decode WAV/PCM audio bytes (stdlib ``wave`` +
+    numpy — no external audio libs needed) and emit per-clip features.
 
-    OUTPUT_FIELDS = [("sample_rate", pa.int32()), ("duration_s", pa.float64()),
-                     ("rms", pa.float64()), ("mfcc", pa.list_(pa.float32()))]
+    Input: a binary column (default ``bytes``) holding RIFF/WAVE blobs
+    with 8/16/32-bit integer PCM. Output: input columns +
+    (sample_rate:int32, n_channels:int32, duration_s:float64,
+    rms:float64, zcr:float64, spectral_centroid_hz:float64).
+    rms/zcr/centroid are computed on the channel-averaged float signal;
+    the centroid is the FFT-magnitude-weighted mean frequency. Rows are
+    variable-length blobs, so like the image stages the per-row loop is
+    inherent; all per-sample math is vectorized numpy."""
+
+    _WIDTH_DTYPE = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def _features(self, blob: bytes):
+        import io
+        import wave
+        with wave.open(io.BytesIO(blob), "rb") as wf:
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+        try:
+            dtype = self._WIDTH_DTYPE[width]
+        except KeyError:
+            raise ValueError(f"unsupported PCM sample width {width}") from None
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if width == 1:
+            x -= 128.0  # 8-bit WAV is unsigned
+        x /= float(2 ** (8 * width - 1))
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        if len(x) == 0:
+            return sr, nch, 0.0, 0.0, 0.0, 0.0
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+        total = mag.sum()
+        centroid = float((freqs * mag).sum() / total) if total > 0 else 0.0
+        return sr, nch, len(x) / sr, rms, zcr, centroid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa (absent in this "
-            "container); the stage contract is the schema above")
+        feats = [self._features(b) for b in batch[self.bytes_col].to_pylist()]
+        cols = list(zip(*feats)) if feats else [[]] * 6
+        return (batch
+                .append_column("sample_rate", pa.array(cols[0], pa.int32()))
+                .append_column("n_channels", pa.array(cols[1], pa.int32()))
+                .append_column("duration_s", pa.array(cols[2], pa.float64()))
+                .append_column("rms", pa.array(cols[3], pa.float64()))
+                .append_column("zcr", pa.array(cols[4], pa.float64()))
+                .append_column("spectral_centroid_hz",
+                               pa.array(cols[5], pa.float64())))
 
 
 class VideoFrameSampleStub:
