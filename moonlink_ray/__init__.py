@@ -40,6 +40,13 @@ if _arrow_cap > 0:
     except Exception:
         pass
 
+# Allocator retention tuning (see runtime.py): without it every large
+# Arrow/numpy/zlib buffer is a fresh mmap that re-page-faults per batch
+# — measured as the dominant non-scaling cost on virtualized hosts.
+from .runtime import tune_allocator as _tune_allocator
+
+_tune_allocator()
+
 IMAGE_SCHEMA_COLUMNS = [
     "image_id",  # string, the MERGE identity key
     "bytes",     # binary, encoded image payload

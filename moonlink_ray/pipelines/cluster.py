@@ -7,23 +7,39 @@ moonlink analog is index merge — consolidating many small sorted
 structures into one — but here it is the *data* that gets a spatial
 order so phash-range queries touch few fragments (zone-map locality).
 
-Ray-Data shape (explicit range partitioning, no Ray Sort op):
+Ray-Data shape (explicit range partitioning; the wide exchange is a
+direct per-bucket spill, NOT a Ray sort/groupby):
 
-    pass 1 (metadata-cheap): scan only (phash, w, h) -> per-batch zkey
-       histograms -> driver merges: quantile BOUNDARIES for ~2xCPU
-       range buckets + the hot-zkey set (skew detection).
-    pass 2: scan(full rows) -> map_batches: _zb = searchsorted(
-       boundaries, zkey); rows of HOT zkeys are spread deterministically
-       across a run of buckets by hash(image_id) (salting) -> ONE
-       groupby(_zb) exchange -> per-bucket callback: vectorized sort by
-       (zkey, salt), size-capped fragment writes -> manifest fold +
-       atomic pointer swap.
+    pass 1 (metadata-cheap, bounded): scan only (phash, w, h) -> per
+       batch a capped weighted zkey SAMPLE + top-k counts (driver state
+       is O(batches x cap), never O(distinct zkeys)) -> driver derives
+       quantile BOUNDARIES for ~2xCPU range buckets + the hot-zkey set.
+    pass 2a (spill): scan(full rows) -> map_batches task: _zb =
+       searchsorted(boundaries, zkey); HOT zkeys spread across a run of
+       buckets by hash(image_id) (salting); the task slices its block
+       by _zb and appends ONE uncompressed parquet spill file per
+       bucket it touches, directly to the table's filesystem.
+    pass 2b (bucket sort): one task per bucket reads exactly the spill
+       files the completed pass-2a run recorded, sorts by (zkey, salt,
+       image_id), writes size-capped fragments + per-bucket lineage ->
+       manifest fold + atomic pointer swap.
+
+Why spill instead of ``groupby(_zb).map_groups`` (round-1 shape): Ray's
+groupby is a sort-based all-to-all — every image byte takes several
+object-store hops (map block -> plasma -> sort exchange -> reduce
+read) plus a sample pass. The spill exchange writes each row exactly
+once and reads it exactly once, with no global sort machinery; measured
+on the bench fixture it is both faster in absolute terms and closer to
+linear in cores. On a multi-node cluster the spill directory lives on
+the table's shared filesystem (object store), i.e. an external shuffle
+— the standard pattern for very wide exchanges (Spark/Cosco-style
+push shuffle) — and it makes the exchange itself resumable: a killed
+run reuses the recorded spill file list and finished buckets.
 
 Why not ``ds.sort``: a global sort shuffles the same bytes but pays a
 sample pass plus per-block tuple sorts, and measured ~no speedup from
-8 to 32 CPUs here; explicit quantile buckets reuse the engine's proven
-bucketed-exchange shape (same as the MERGE fold), keep partition count
-= O(cluster width), and make the skew handling explicit — which the
+8 to 32 CPUs here; explicit quantile buckets keep partition count
+= O(cluster width) and make the skew handling explicit — which the
 north rule demands anyway.
 
 Skew handling: ~10% of rows are near-duplicates whose phash collides
@@ -33,35 +49,54 @@ spread across ``ceil(freq / bucket_capacity)`` consecutive buckets by a
 stable hash of image_id — bounded zone-map widening, no straggler. The
 intra-zkey order this gives up is meaningless for locality (equal zkey
 == same spatial cell).
+
+Resume: the bucket plan (boundaries, hot set, bucket count) is pinned
+in a run-level lineage record on first invocation — a resumed run after
+a kill must not recompute boundaries from a different sample or cluster
+width (same rationale as MERGE's pinned num_buckets). Completed spill
+is recorded once (with its exact file list, so orphans from retried
+tasks are ignored), and each finished bucket checkpoints its fragments.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import uuid
 from collections import Counter
 from dataclasses import asdict
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..fragments import write_fragment
-from ..manifest import FragmentMeta, Snapshot, commit, load
+from ..manifest import (FragmentMeta, Snapshot, commit, load, read_lineage,
+                        write_lineage)
 from ..sources.scan import scan
 from ..stages.keys import stable_hash_strings, zorder_key
 from ..synth import IMAGES_SCHEMA
 from .merge import _chunk_by_bytes
 
+# per-batch caps for the statistics pass: driver state is
+# O(num_batches x (SAMPLE_CAP + TOPK)) regardless of zkey cardinality
+_SAMPLE_CAP = 512
+_TOPK = 64
 
-def _zkey_stats(root: str, snap: Snapshot) -> Counter:
-    """One metadata-cheap pass: per-batch zkey counts, driver combine.
-    Reads only (phash, w, h) — a few bytes per row, no image payload.
 
-    At 10^12 rows the per-batch return would be a capped reservoir
-    sample + top-k counts instead of the exact histogram; the driver
-    math below is unchanged.
+def _zkey_stats_sampled(root: str, snap: Snapshot):
+    """Bounded statistics pass: per-batch weighted zkey sample + top-k
+    counts. Reads only (phash, w, h) — a few bytes per row, no image
+    payload.
+
+    Returns (samples, weights, hot_counts: Counter, total_rows).
+    ``samples``/``weights`` approximate the zkey distribution (each
+    sample point stands for ``weight`` rows); ``hot_counts`` holds
+    near-exact counts for keys frequent enough to be in some batch's
+    top-k (a globally hot key is locally frequent in the batches that
+    contain it). At extreme scale this pass would add one tree-reduce
+    level; the driver math is unchanged.
     """
     ds = scan(root, columns=["phash", "w", "h"], fragments=snap.fragments)
 
@@ -69,47 +104,190 @@ def _zkey_stats(root: str, snap: Snapshot) -> Counter:
         zk = zorder_key(batch["phash"].to_numpy(zero_copy_only=False),
                         batch["w"].to_numpy(zero_copy_only=False),
                         batch["h"].to_numpy(zero_copy_only=False))
+        n = len(zk)
+        if n == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "zkey": pa.array([], pa.int64()),
+                             "wt": pa.array([], pa.float64())})
+        zs = np.sort(zk)
+        step = max(1, n // _SAMPLE_CAP)
+        sample = zs[step // 2::step]
+        wt = np.full(len(sample), n / len(sample), dtype=np.float64)
         vals, counts = np.unique(zk, return_counts=True)
-        return pa.table({"zkey": pa.array(vals, pa.int64()),
-                         "n": pa.array(counts, pa.int64())})
+        top = np.argsort(counts)[::-1][:_TOPK]
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(sample), dtype=np.int8),
+                np.ones(len(top), dtype=np.int8)])),
+            "zkey": pa.array(np.concatenate([sample, vals[top]]), pa.int64()),
+            "wt": pa.array(np.concatenate([wt, counts[top].astype(np.float64)]),
+                           pa.float64()),
+        })
 
-    totals: Counter = Counter()
+    samples, weights = [], []
+    hot_counts: Counter = Counter()
+    total = 0.0
     for row in ds.map_batches(partial, batch_size=None,
                               batch_format="pyarrow").take_all():
-        totals[row["zkey"]] += row["n"]
-    return totals
+        if row["kind"] == 0:
+            samples.append(row["zkey"])
+            weights.append(row["wt"])
+            total += row["wt"]
+        else:
+            hot_counts[row["zkey"]] += int(row["wt"])
+    return (np.asarray(samples, dtype=np.int64),
+            np.asarray(weights, dtype=np.float64), hot_counts, int(round(total)))
 
 
 def estimate_hot_zkeys(root: str, snap: Snapshot, hot_threshold: float) -> set[int]:
-    """Hot set from the zkey histogram (kept as a public helper)."""
-    totals = _zkey_stats(root, snap)
-    total = sum(totals.values())
+    """Hot set from the sampled zkey statistics (public helper)."""
+    _, _, hot_counts, total = _zkey_stats_sampled(root, snap)
     if total == 0:
         return set()
     cut = max(2, int(total * hot_threshold))
-    return {zk for zk, n in totals.items() if n >= cut}
+    return {zk for zk, n in hot_counts.items() if n >= cut}
 
 
-def _plan_buckets(totals: Counter, num_buckets: int, hot_threshold: float):
-    """Quantile boundaries + per-hot-zkey spread widths.
+def _plan_buckets(samples: np.ndarray, weights: np.ndarray,
+                  hot_counts: Counter, total: int,
+                  num_buckets: int, hot_threshold: float):
+    """Quantile boundaries from the weighted sample + per-hot-zkey
+    spread widths.
 
     Returns (boundaries: sorted int64 array of len num_buckets-1,
     hot: dict zkey -> spread bucket count)."""
-    total = sum(totals.values())
-    if total == 0:
+    if total == 0 or len(samples) == 0:
         return np.array([], dtype=np.int64), {}
-    keys = np.fromiter(totals.keys(), dtype=np.int64)
-    keys.sort()
-    counts = np.fromiter((totals[int(k)] for k in keys), dtype=np.int64)
-    cum = np.cumsum(counts)
+    order = np.argsort(samples, kind="stable")
+    s = samples[order]
+    cum = np.cumsum(weights[order])
     per_bucket = total / num_buckets
     marks = per_bucket * np.arange(1, num_buckets)
-    idx = np.searchsorted(cum, marks, side="left").clip(0, len(keys) - 1)
-    boundaries = keys[idx]
+    idx = np.searchsorted(cum, marks, side="left").clip(0, len(s) - 1)
+    boundaries = s[idx]
     cut = max(2, int(total * hot_threshold))
     hot = {int(k): int(np.ceil(c / per_bucket))
-           for k, c in zip(keys, counts) if c >= cut}
+           for k, c in hot_counts.items() if c >= cut}
     return boundaries, hot
+
+
+def _spill_dir(root: str, run_id: str) -> str:
+    return os.path.join(root, "tmp", f"cluster-{run_id}", "spill")
+
+
+class _DeriveSpill:
+    """map_batches task: derive (_zkey, _salt, _zb) for its block and
+    append one UNCOMPRESSED parquet spill file per bucket it touches
+    (image payloads are already compressed; parquet-level codecs here
+    would burn CPU for nothing). Returns (zb, rows, file) summary rows —
+    only files reported by the completed run are ever read back, so a
+    retried task's orphan files are inert."""
+
+    def __init__(self, root: str, run_id: str, boundaries: np.ndarray,
+                 hot: dict[int, int], num_buckets: int):
+        self.root = root
+        self.run_id = run_id
+        self.boundaries = np.asarray(boundaries, dtype=np.int64)
+        self.hot = {int(k): int(v) for k, v in hot.items()}
+        self.nb = num_buckets
+        self.__name__ = "DeriveSpill"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        zk = zorder_key(batch["phash"].to_numpy(zero_copy_only=False),
+                        batch["w"].to_numpy(zero_copy_only=False),
+                        batch["h"].to_numpy(zero_copy_only=False))
+        salt = np.zeros(len(zk), dtype=np.int64)
+        zb = (np.searchsorted(self.boundaries, zk, side="left").astype(np.int64)
+              if len(self.boundaries) else np.zeros(len(zk), dtype=np.int64))
+        if self.hot:
+            hot_keys = np.fromiter(self.hot.keys(), dtype=np.int64)
+            hot_mask = np.isin(zk, hot_keys)
+            if hot_mask.any():
+                salts = (stable_hash_strings(batch["image_id"])
+                         % np.uint64(1 << 16)).astype(np.int64)
+                salt[hot_mask] = salts[hot_mask]
+                spread = np.array([self.hot[int(z)] for z in zk[hot_mask]],
+                                  dtype=np.int64)
+                zb[hot_mask] = np.minimum(
+                    zb[hot_mask] + salts[hot_mask] % np.maximum(spread, 1),
+                    self.nb - 1)
+        batch = batch.append_column("_zkey", pa.array(zk, pa.int64()))
+        batch = batch.append_column("_salt", pa.array(salt, pa.int64()))
+
+        # slice the block into per-bucket runs (one stable sort by _zb)
+        order = np.argsort(zb, kind="stable")
+        sorted_t = batch.take(pa.array(order))
+        zb_sorted = zb[order]
+        bounds = np.flatnonzero(np.diff(zb_sorted)) + 1
+        starts = np.concatenate([[0], bounds])
+        stops = np.concatenate([bounds, [len(zb_sorted)]])
+        tag = uuid.uuid4().hex[:12]
+        out_zb, out_rows, out_file = [], [], []
+        spill = _spill_dir(self.root, self.run_id)
+        for s, e in zip(starts, stops):
+            b = int(zb_sorted[s])
+            part = sorted_t.slice(s, e - s)
+            d = os.path.join(spill, f"b{b:05d}")
+            os.makedirs(d, exist_ok=True)
+            rel = os.path.join(f"b{b:05d}", f"{tag}-{s}.parquet")
+            path = os.path.join(spill, rel)
+            pq.write_table(part, path + ".tmp", compression="NONE")
+            os.replace(path + ".tmp", path)
+            out_zb.append(b)
+            out_rows.append(part.num_rows)
+            out_file.append(rel)
+        return pa.table({"zb": pa.array(out_zb, pa.int64()),
+                         "rows": pa.array(out_rows, pa.int64()),
+                         "file": pa.array(out_file, pa.string())})
+
+
+class _BucketSort:
+    """map_batches task over bucket ids (batch_size=1): read exactly the
+    recorded spill files of one bucket, sort by (zkey, salt, image_id),
+    write size-capped fragments + a per-bucket lineage checkpoint."""
+
+    def __init__(self, root: str, run_id: str, files_ref, target_bytes: int,
+                 max_lsn: int, schema_names: list[str], sources: list[str],
+                 schema_list: list | None = None):
+        import ray
+        from ..schema import schema_from_list
+        self.root = root
+        self.run_id = run_id
+        self.files = ray.get(files_ref) if hasattr(files_ref, "hex") else files_ref
+        self.target_bytes = target_bytes
+        self.max_lsn = max_lsn
+        self.sources = sources
+        schema = schema_from_list(schema_list)
+        self.schema = schema if schema is not None else IMAGES_SCHEMA
+        self.schema_names = schema_names
+        self.__name__ = "ClusterBucketSort"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spill = _spill_dir(self.root, self.run_id)
+        metas = []
+        for zb in batch["zb"].to_pylist():
+            files = self.files.get(int(zb), [])
+            if not files:
+                continue
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(spill, f)) for f in files])
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
+                              ("image_id", "ascending")]))
+            out = t.select(self.schema_names).cast(self.schema)
+            gmetas = []
+            for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
+                frag_id = f"frag-{self.run_id}-z{int(zb):05d}-{n:03d}"
+                gmetas.append(write_fragment(self.root, chunk, frag_id,
+                                             lineage=self.sources,
+                                             max_lsn=self.max_lsn))
+            write_lineage(self.root, self.run_id, f"zb-{int(zb):05d}", {
+                "kind": "cluster-bucket", "bucket": int(zb),
+                "fragments": [asdict(m) for m in gmetas],
+            })
+            metas.extend(gmetas)
+        return pa.table({"meta": pa.array(
+            [json.dumps(asdict(m)) for m in metas], pa.string())})
 
 
 def cluster(root: str, *, run_id: str | None = None,
@@ -124,82 +302,94 @@ def cluster(root: str, *, run_id: str | None = None,
     table.
     """
     import ray
-    import ray.data as rd  # noqa: F401
+    import ray.data as rd
 
     run_id = run_id or uuid.uuid4().hex[:12]
     snap = load(root)
     if not snap.fragments:
         return None
-    n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    # floor of 64 buckets: bucket count well above CPU count keeps the
-    # long tail short (wall ~ sum/width, not max single bucket)
-    NB = num_buckets or max(64, 2 * n_cpus)
-    totals = _zkey_stats(root, snap)
-    boundaries, hot = _plan_buckets(totals, NB, hot_threshold)
 
-    def derive(batch: pa.Table) -> pa.Table:
-        zk = zorder_key(batch["phash"].to_numpy(zero_copy_only=False),
-                        batch["w"].to_numpy(zero_copy_only=False),
-                        batch["h"].to_numpy(zero_copy_only=False))
-        salt = np.zeros(len(zk), dtype=np.int64)
-        zb = (np.searchsorted(boundaries, zk, side="left").astype(np.int64)
-              if len(boundaries) else np.zeros(len(zk), dtype=np.int64))
-        if hot:
-            hot_keys = np.fromiter(hot.keys(), dtype=np.int64)
-            hot_mask = np.isin(zk, hot_keys)
-            if hot_mask.any():
-                salts = (stable_hash_strings(batch["image_id"])
-                         % np.uint64(1 << 16)).astype(np.int64)
-                salt[hot_mask] = salts[hot_mask]
-                spread = np.array([hot[int(z)] for z in zk[hot_mask]],
-                                  dtype=np.int64)
-                zb[hot_mask] = np.minimum(
-                    zb[hot_mask] + salts[hot_mask] % np.maximum(spread, 1),
-                    NB - 1)
-        batch = batch.append_column("_zkey", pa.array(zk, pa.int64()))
-        batch = batch.append_column("_salt", pa.array(salt, pa.int64()))
-        return batch.append_column("_zb", pa.array(zb, pa.int64()))
+    done = read_lineage(root, run_id)
 
+    # -- plan: pinned on first invocation (resume must reuse it; a
+    # recomputed plan from a different sample or cluster width would
+    # re-partition rows across buckets against the done checkpoints)
+    params = done.get("params")
+    if params:
+        NB = int(params["num_buckets"])
+        boundaries = np.asarray(params["boundaries"], dtype=np.int64)
+        hot = {int(k): int(v) for k, v in params["hot"].items()}
+    else:
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        # floor of 64 buckets: bucket count well above CPU count keeps
+        # the long tail short (wall ~ sum/width, not max single bucket)
+        NB = num_buckets or max(64, 2 * n_cpus)
+        samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap)
+        boundaries, hot = _plan_buckets(samples, weights, hot_counts, total,
+                                        NB, hot_threshold)
+        write_lineage(root, run_id, "params", {
+            "kind": "cluster-params", "num_buckets": NB,
+            "boundaries": [int(b) for b in boundaries],
+            "hot": {str(k): v for k, v in hot.items()}})
+
+    # -- pass 2a: spill (skipped wholesale on resume once recorded)
+    spill_rec = done.get("spill")
+    if spill_rec:
+        files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
+    else:
+        ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
+        # batch_size=None: fuse-safe (see scan() docstring)
+        summary = ds.map_batches(
+            _DeriveSpill(root, run_id, boundaries, hot, NB),
+            batch_size=None, batch_format="pyarrow").take_all()
+        files_by_bucket: dict[int, list[str]] = {}
+        spilled = 0
+        for r in summary:
+            files_by_bucket.setdefault(int(r["zb"]), []).append(r["file"])
+            spilled += int(r["rows"])
+        if spilled != snap.total_rows:
+            raise AssertionError(
+                f"cluster spill row mismatch: {spilled} != {snap.total_rows}")
+        write_lineage(root, run_id, "spill", {
+            "kind": "cluster-spill",
+            "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
+
+    # -- pass 2b: per-bucket sort + fragment writes (bucket-level resume)
     from ..schema import table_schema
     out_schema = table_schema(snap)
-
-    def write_bucket(t: pa.Table) -> pa.Table:
-        # zero-copy Arrow group (binary payloads never become pandas
-        # objects); one call per range bucket
-        zb = int(t["_zb"][0].as_py())
-        t = t.take(pc.sort_indices(
-            t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
-                          ("image_id", "ascending")]))
-        out = t.select(out_schema.names).cast(out_schema)
-        metas = []
-        for n, chunk in enumerate(_chunk_by_bytes(out, fragment_target_bytes)):
-            frag_id = f"frag-{run_id}-z{zb:05d}-{n:03d}"
-            metas.append(write_fragment(root, chunk, frag_id,
-                                        lineage=[], max_lsn=snap.max_lsn))
-        return pa.table({"meta": pa.array(
-            [json.dumps(asdict(m)) for m in metas], pa.string())})
-
-    write_bucket.__name__ = "ClusterBucketWriter"
-    ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
-    # batch_size=None: fuse-safe (see scan() docstring)
-    ds = ds.map_batches(derive, batch_size=None, batch_format="pyarrow")
-    rows = ds.groupby("_zb").map_groups(write_bucket, batch_format="pyarrow") \
-        .take_all()
-    new_metas = [FragmentMeta.from_dict(json.loads(r["meta"])) for r in rows]
-    # record lineage: every new fragment derives from the full victim set
-    sources = sorted(f.fragment_id for f in snap.fragments)
-    for m in new_metas:
-        m.lineage = sources
+    new_metas: list[FragmentMeta] = []
+    done_buckets = set()
+    for k, rec in done.items():
+        if k.startswith("zb-"):
+            done_buckets.add(rec["bucket"])
+            new_metas.extend(FragmentMeta.from_dict(d)
+                             for d in rec["fragments"])
+    todo = sorted(b for b in files_by_bucket if b not in done_buckets)
+    if todo:
+        files_ref = ray.put(files_by_bucket)  # broadcast once
+        items = rd.from_items([{"zb": b} for b in todo],
+                              override_num_blocks=len(todo))
+        sources = sorted(f.fragment_id for f in snap.fragments)
+        rows = items.map_batches(
+            _BucketSort(root, run_id, files_ref, fragment_target_bytes,
+                        snap.max_lsn, out_schema.names, sources, snap.schema),
+            batch_size=1, batch_format="pyarrow").take_all()
+        new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
+                         for r in rows)
 
     got = sum(m.rows for m in new_metas)
     want = snap.total_rows
     if got != want:
         raise AssertionError(f"cluster row mismatch: wrote {got}, expected {want}")
     new_metas.sort(key=lambda m: m.fragment_id)
-    return commit(root, new_metas, max_lsn=snap.max_lsn,
-                  job={"kind": "cluster", "run_id": run_id,
-                       "hot_zkeys": len(hot), "num_buckets": NB},
-                  expected_parent=snap.version)
+    out = commit(root, new_metas, max_lsn=snap.max_lsn,
+                 job={"kind": "cluster", "run_id": run_id,
+                      "hot_zkeys": len(hot), "num_buckets": NB},
+                 expected_parent=snap.version)
+    import shutil
+    shutil.rmtree(os.path.dirname(_spill_dir(root, run_id)),
+                  ignore_errors=True)
+    return out
 
 
 def phash_range_locality(snap: Snapshot, n_probes: int = 64,

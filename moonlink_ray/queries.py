@@ -405,24 +405,35 @@ def rel_anti_join(sf_dir: str):
 
 def rel_asof_join(sf_dir: str):
     """As-of join: each event matched to the customer's most recent
-    order on/before the event timestamp (broadcast right side,
-    merge_asof per batch — no shuffle). Date emitted as epoch days so
-    both engines hash identically."""
-    import ray
-    from .stages.temporal import asof_join
-    od = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                       columns=["o_custkey", "o_orderdate"]).to_pandas()
-    od["rt"] = pd.to_datetime(od["o_orderdate"])
-    ref = ray.put(od[["o_custkey", "rt"]])
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = asof_join(ds, ref, left_on="ts", right_on="rt",
-                    by_left="user_id", by_right="o_custkey",
-                    right_cols=["rt"])
+    order on/before the event timestamp. Orders is a TABLE, not a
+    dimension — so this takes the two-big-sides path: both sides
+    exchange once on hash(key) % buckets, one vectorized merge_asof per
+    bucket, nothing broadcast or driver-materialized. Date emitted as
+    epoch days so both engines hash identically."""
+    from .stages.temporal import asof_join_bucketed
+
+    right = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        rt = pc.cast(pc.cast(t["o_orderdate"], pa.date32()),
+                     pa.timestamp("us"))
+        return pa.table({"o_custkey": t["o_custkey"], "rt": rt})
+
+    right = right.map_batches(prep_right, batch_format="pyarrow")
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = asof_join_bucketed(
+        left, right, left_on="ts", right_on="rt",
+        by_left="user_id", by_right="o_custkey",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("rt", pa.timestamp("us"))]))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         days = (df["rt"] - pd.Timestamp("1970-01-01")).dt.days
-        return pd.DataFrame({"event_id": df["event_id"],
-                             "user_id": df["user_id"],
+        return pd.DataFrame({"event_id": df["event_id"].astype(np.int64),
+                             "user_id": df["user_id"].astype(np.int64),
                              "asof_days": days.astype("Int64")})
 
     return out.map_batches(finish, batch_format="pandas")

@@ -44,6 +44,87 @@ def asof_join(ds, right_ref, *, left_on: str, right_on: str, by_left: str,
     return ds.map_batches(join, batch_format="pandas")
 
 
+def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
+                       by_left: str, by_right: str,
+                       left_schema, right_schema,
+                       num_buckets: int = 64):
+    """Two-big-sides as-of join: NEITHER side is broadcast or
+    driver-materialized. Both sides exchange once on
+    ``hash(key) % num_buckets`` (tagged with typed null-fill for the
+    other side's columns, union'ed, grouped), then ONE vectorized
+    ``pandas.merge_asof`` runs per bucket. This is the scale path when
+    the right side is not a dimension table (e.g. events as-of orders,
+    both at table scale); per-bucket state is bounded by the bucket's
+    share of both sides, and skewed keys can be salted the same way as
+    the dedup exchanges.
+
+    ``left_schema`` / ``right_schema`` are pyarrow schemas of exactly
+    the columns each side contributes (disjoint names; timestamps as
+    timestamp[us]). Returns left columns + right columns (right ones
+    null when no right row at or before the left row's timestamp).
+    """
+    import pyarrow as pa
+
+    all_fields = list(left_schema) + list(right_schema)
+
+    def tag(side: int, by_col: str, own: "pa.Schema"):
+        own_names = set(own.names)
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = []
+            for f in all_fields:
+                if f.name in own_names:
+                    cols.append(t[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            key = t[by_col].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(np.asarray(key, dtype=object))
+            names = [f.name for f in all_fields] + ["_gb", "_side"]
+            cols.append(pa.array((h % num_buckets).astype(np.int64)))
+            cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            return pa.table(cols, names=names)
+
+        fn.__name__ = f"asof_tag_{'left' if side else 'right'}"
+        return fn
+
+    lt = left.map_batches(tag(1, by_left, left_schema),
+                          batch_format="pyarrow")
+    rt = right.map_batches(tag(0, by_right, right_schema),
+                           batch_format="pyarrow")
+    both = lt.union(rt)
+    right_names = list(right_schema.names)
+    left_names = list(left_schema.names)
+
+    def _restore(df: pd.DataFrame, schema) -> pd.DataFrame:
+        # after the side filter, own columns are null-free again — undo
+        # the union's null-driven upcasts (int64 -> float64) so the
+        # merge keys match dtypes on both sides
+        import pyarrow as pa
+        for f in schema:
+            if pa.types.is_integer(f.type):
+                df[f.name] = df[f.name].astype(np.int64)
+        return df
+
+    def join(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = _restore(bucket.loc[bucket["_side"] == 1, left_names].copy(),
+                     left_schema) \
+            .sort_values([left_on, by_left], kind="mergesort")
+        r = _restore(bucket.loc[bucket["_side"] == 0, right_names].copy(),
+                     right_schema)
+        if len(r) == 0:
+            out = l.copy()
+            for f in right_schema:
+                out[f.name] = pd.Series([None] * len(out), index=out.index)
+            return out
+        r = r.sort_values([right_on, by_right], kind="mergesort")
+        return pd.merge_asof(l, r, left_on=left_on, right_on=right_on,
+                             left_by=by_left, right_by=by_right,
+                             suffixes=("", "_r"))
+
+    return both.groupby("_gb").map_groups(join, batch_format="pandas")
+
+
 def sessionize(ds, *, key_col: str, ts_col: str, gap_us: int,
                num_buckets: int = 64):
     """Gap-based sessions: rows of one key whose successive timestamps

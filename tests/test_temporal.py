@@ -4,7 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from moonlink_ray.stages.temporal import asof_join, sessionize
+from moonlink_ray.stages.temporal import (asof_join, asof_join_bucketed,
+                                          sessionize)
 
 
 def _ds(rows):
@@ -34,6 +35,50 @@ class TestTemporal:
         g = got.sort_values(["k", "t", "val"]).reset_index(drop=True)
         w = want.sort_values(["k", "t", "val"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(g[["k", "t", "val"]], w[["k", "t", "val"]])
+
+    def test_asof_join_bucketed_matches_pandas(self):
+        """Two-big-sides path == pandas merge_asof, incl. keys with no
+        right rows at all (empty-right buckets must null-fill)."""
+        import pyarrow as pa
+        import ray.data as rd
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 10, 300),          # keys 5-9 have no right
+            "t": rng.integers(0, 1000, 300)})
+        right = pd.DataFrame({
+            "k": np.repeat(np.arange(5), 10),
+            "rt": np.tile(np.arange(0, 1000, 100), 5),
+            "val": np.arange(50)})
+        lds = rd.from_arrow(pa.table({
+            "k": pa.array(left["k"], pa.int64()),
+            "t": pa.array(left["t"].to_numpy(), pa.timestamp("us"))}))
+        rds = rd.from_arrow(pa.table({
+            "rk": pa.array(right["k"], pa.int64()),
+            "rt": pa.array(right["rt"].to_numpy(), pa.timestamp("us")),
+            "val": pa.array(right["val"], pa.int64())}))
+        got = asof_join_bucketed(
+            lds, rds, left_on="t", right_on="rt", by_left="k", by_right="rk",
+            left_schema=pa.schema([("k", pa.int64()),
+                                   ("t", pa.timestamp("us"))]),
+            right_schema=pa.schema([("rk", pa.int64()),
+                                    ("rt", pa.timestamp("us")),
+                                    ("val", pa.int64())]),
+            num_buckets=8).to_pandas()
+        lf = left.copy()
+        lf["t"] = lf["t"].astype("datetime64[us]")
+        rf = right.rename(columns={"k": "rk"}).copy()
+        rf["rt"] = rf["rt"].astype("datetime64[us]")
+        want = pd.merge_asof(
+            lf.sort_values(["t", "k"], kind="mergesort"),
+            rf.sort_values(["rt", "rk"], kind="mergesort"),
+            left_on="t", right_on="rt", left_by="k", right_by="rk")
+        g = got.sort_values(["k", "t", "val"]).reset_index(drop=True)
+        w = want.sort_values(["k", "t", "val"]).reset_index(drop=True)
+        assert len(g) == len(w)
+        assert (g["val"].fillna(-1).to_numpy() ==
+                w["val"].fillna(-1).to_numpy()).all()
+        # keys without any right rows survive with null val
+        assert g.loc[g["k"] >= 5, "val"].isna().all()
 
     def test_sessionize_gaps(self):
         rows = []
