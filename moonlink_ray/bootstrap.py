@@ -41,8 +41,8 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
     fingerprint = {"kind": "bootstrap", "n_rows": n_rows, "seed": seed,
                    "rows_per_fragment": rows_per_fragment, "scale": scale,
                    "synthv": synth.SYNTH_VERSION}
-    hint = os.path.join(root, "version-hint.text")
-    if not force and os.path.exists(hint):
+    from .fs import for_root
+    if not force and for_root(root).exists("version-hint.text"):
         try:
             snap = load(root, 1)
             if snap.job == fingerprint:
@@ -98,8 +98,8 @@ def register_parquet_files(root: str, paths: list[str], *,
     from .manifest import init_table
 
     run_id = run_id or uuid.uuid4().hex[:12]
-    hint = os.path.join(root, "version-hint.text")
-    if not os.path.exists(hint):
+    from .fs import for_root
+    if not for_root(root).exists("version-hint.text"):
         init_table(root)
         parent, existing = 0, []
     else:

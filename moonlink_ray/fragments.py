@@ -17,13 +17,11 @@ puffin per commit, ``iceberg_table_syncer.rs:313-348``).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
+from .fs import for_root
 from .manifest import FragmentMeta
 
 STATS_COLUMNS = ("image_id", "phash", "w", "h")
@@ -47,22 +45,21 @@ def _col_stats(table: pa.Table) -> dict[str, list]:
 
 
 def fragment_path(fragment_id: str) -> str:
-    return os.path.join("fragments", f"{fragment_id}.parquet")
+    return f"fragments/{fragment_id}.parquet"
 
 
 def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
                    lineage: list[str] | None = None, max_lsn: int = 0) -> FragmentMeta:
     """Write one immutable fragment and return its manifest entry."""
+    fs = for_root(root)
     rel = fragment_path(fragment_id)
-    path = os.path.join(root, rel)
-    tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=ROW_GROUP_SIZE, compression="snappy")
-    os.replace(tmp, path)
+    fs.write_parquet_atomic(table, rel, row_group_size=ROW_GROUP_SIZE,
+                            compression="snappy")
     return FragmentMeta(
         fragment_id=fragment_id,
         path=rel,
         rows=table.num_rows,
-        size_bytes=os.path.getsize(path),
+        size_bytes=fs.size(rel),
         stats=_col_stats(table),
         dv=None,
         lineage=sorted(lineage or []),
@@ -79,11 +76,11 @@ def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = Non
     ``tolerant_columns``: skip requested columns the file predates (a
     fragment written before an ALTER ... ADD COLUMN lacks the new
     column; the schema-aware scan null-fills it afterwards)."""
-    path = os.path.join(root, meta.path)
+    fs = for_root(root)
     if columns is not None and tolerant_columns:
-        have = set(pq.read_schema(path).names)
+        have = set(fs.parquet_schema(meta.path).names)
         columns = [c for c in columns if c in have]
-    table = pq.read_table(path, columns=columns)
+    table = fs.read_parquet(meta.path, columns=columns)
     if with_pos or (apply_dv and meta.dv):
         pos = np.arange(table.num_rows, dtype=np.int64)
         if apply_dv and meta.dv:
@@ -98,20 +95,18 @@ def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = Non
 
 
 def dv_path(dv_id: str) -> str:
-    return os.path.join("dv", f"{dv_id}.parquet")
+    return f"dv/{dv_id}.parquet"
 
 
 def write_dv(root: str, dv_id: str, positions: np.ndarray) -> dict:
     """Write a cumulative deletion vector sidecar; returns its manifest ref."""
     positions = np.unique(np.asarray(positions, dtype=np.int64))
     rel = dv_path(dv_id)
-    path = os.path.join(root, rel)
-    tmp = path + ".tmp"
-    pq.write_table(pa.table({"pos": positions}), tmp, compression="snappy")
-    os.replace(tmp, path)
+    for_root(root).write_parquet_atomic(pa.table({"pos": positions}), rel,
+                                        compression="snappy")
     return {"path": rel, "count": int(len(positions))}
 
 
 def read_dv(root: str, dv_ref: dict) -> np.ndarray:
-    t = pq.read_table(os.path.join(root, dv_ref["path"]), columns=["pos"])
+    t = for_root(root).read_parquet(dv_ref["path"], columns=["pos"])
     return t["pos"].to_numpy()

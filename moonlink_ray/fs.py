@@ -1,0 +1,203 @@
+"""Pluggable table filesystem (local / S3 / GCS / in-memory / chaos).
+
+Moonlink accesses table storage through a filesystem-accessor trait with
+local-fs, S3 and GCS backends plus a chaos wrapper for fault injection
+(``/root/reference/src/moonlink/src/storage/filesystem/accessor/``).
+This module is the batch engine's seam for the same concern, built on
+``pyarrow.fs.FileSystem`` (the public standard Ray Data itself reads
+through):
+
+- a table root is a URI or plain path: ``/data/tbl`` or
+  ``file:///data/tbl`` (LocalFileSystem), ``s3://bucket/prefix``
+  (S3FileSystem), ``gs://bucket/prefix`` (GcsFileSystem),
+  ``mock://...`` (in-process _MockFileSystem, for tests);
+- every durable read/write in the engine (manifest, fragments, DVs,
+  lineage sidecars, cluster spill) goes through a ``TableFS`` resolved
+  from the root string, so workers on any node resolve the same storage
+  with no shared driver state;
+- atomic publication: on a local fs, write-temp-then-rename; on an
+  object store a single PUT is already atomic, so the temp dance is
+  skipped (the version-hint race across *concurrent writers* would need
+  a conditional put — out of scope for the single-writer driver, same
+  as moonlink's single event loop per table);
+- ``ChaosFS`` wraps any backend with seeded fault injection on mutating
+  ops (mirrors moonlink's chaos accessor wrapper) — used by the chaos
+  tests to prove kill-resume semantics under storage failures.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+from typing import Iterable
+
+import pyarrow as pa
+import pyarrow.fs as pafs
+import pyarrow.parquet as pq
+
+_MOCK_FS: dict[str, "pafs.FileSystem"] = {}  # name -> shared in-memory fs
+
+
+def _split_scheme(root: str) -> tuple[str, str]:
+    if "://" in root:
+        scheme, rest = root.split("://", 1)
+        return scheme, rest
+    return "file", root
+
+
+def _backend(scheme: str, rest: str):
+    """(pyarrow FileSystem, base path inside it, is_object_store)."""
+    if scheme == "file":
+        return pafs.LocalFileSystem(), rest, False
+    if scheme == "mock":
+        name, _, path = rest.partition("/")
+        fs = _MOCK_FS.setdefault(name, pafs._MockFileSystem())
+        return fs, path, True
+    if scheme == "s3":
+        return pafs.S3FileSystem(), rest, True
+    if scheme in ("gs", "gcs"):
+        return pafs.GcsFileSystem(), rest, True
+    raise ValueError(f"unsupported table-root scheme: {scheme}://")
+
+
+class TableFS:
+    """All storage access of one table root, root-relative paths."""
+
+    def __init__(self, fs: "pafs.FileSystem", base: str, object_store: bool):
+        self.fs = fs
+        self.base = base.rstrip("/")
+        self.object_store = object_store
+
+    @staticmethod
+    def for_root(root: str) -> "TableFS":
+        scheme, rest = _split_scheme(root)
+        if scheme == "chaos":
+            # chaos://<p_permille>/<seed>/<inner-root>
+            p, seed, inner = rest.split("/", 2)
+            return ChaosFS(TableFS.for_root(inner), int(p), int(seed))
+        fs, base, obj = _backend(scheme, rest)
+        return TableFS(fs, base, obj)
+
+    # -- paths
+    def full(self, rel: str = "") -> str:
+        return posixpath.join(self.base, rel) if rel else self.base
+
+    # -- small text/json blobs
+    def read_text(self, rel: str) -> str:
+        with self.fs.open_input_stream(self.full(rel)) as f:
+            return f.read().decode()
+
+    def write_text_atomic(self, rel: str, data: str) -> None:
+        path = self.full(rel)
+        if self.object_store:  # single PUT is atomic
+            with self.fs.open_output_stream(path) as f:
+                f.write(data.encode())
+            return
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(data.encode())
+        self.fs.move(tmp, path)
+
+    def read_json(self, rel: str) -> dict:
+        return json.loads(self.read_text(rel))
+
+    def write_json_atomic(self, rel: str, obj: dict) -> None:
+        self.write_text_atomic(rel, json.dumps(obj, sort_keys=True))
+
+    # -- parquet
+    def read_parquet(self, rel: str, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(self.full(rel), columns=columns,
+                             filesystem=self.fs)
+
+    def parquet_schema(self, rel: str) -> pa.Schema:
+        return pq.read_schema(self.full(rel), filesystem=self.fs)
+
+    def write_parquet_atomic(self, table: pa.Table, rel: str, **kw) -> None:
+        path = self.full(rel)
+        if self.object_store:
+            pq.write_table(table, path, filesystem=self.fs, **kw)
+            return
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, filesystem=self.fs, **kw)
+        self.fs.move(tmp, path)
+
+    # -- namespace ops
+    def exists(self, rel: str) -> bool:
+        info = self.fs.get_file_info(self.full(rel))
+        return info.type != pafs.FileType.NotFound
+
+    def is_dir(self, rel: str) -> bool:
+        info = self.fs.get_file_info(self.full(rel))
+        return info.type == pafs.FileType.Directory
+
+    def size(self, rel: str) -> int:
+        return self.fs.get_file_info(self.full(rel)).size
+
+    def makedirs(self, rel: str) -> None:
+        self.fs.create_dir(self.full(rel), recursive=True)
+
+    def listdir(self, rel: str) -> list[str]:
+        """Base names directly under ``rel`` (empty if missing)."""
+        sel = pafs.FileSelector(self.full(rel), recursive=False,
+                                allow_not_found=True)
+        return sorted(posixpath.basename(i.path)
+                      for i in self.fs.get_file_info(sel))
+
+    def delete(self, rel: str) -> bool:
+        """Delete one file; False if it did not exist."""
+        try:
+            self.fs.delete_file(self.full(rel))
+            return True
+        except (FileNotFoundError, OSError):
+            return False
+
+    def delete_dir(self, rel: str) -> None:
+        try:
+            self.fs.delete_dir(self.full(rel))
+        except (FileNotFoundError, OSError):
+            pass
+
+
+class ChaosFS(TableFS):
+    """Seeded fault injection on mutating ops (moonlink's chaos accessor
+    analog: ``filesystem/accessor/chaos_wrapper.rs``). Deterministic:
+    the k-th mutating op of a process fails iff
+    ``hash(seed, k) % 1000 < p_permille``."""
+
+    def __init__(self, inner: TableFS, p_permille: int, seed: int):
+        super().__init__(inner.fs, inner.base, inner.object_store)
+        self.inner = inner
+        self.p = p_permille
+        self.seed = seed
+        self._k = 0
+
+    def _maybe_fail(self, op: str) -> None:
+        self._k += 1
+        h = hash((self.seed, self._k)) % 1000
+        if h < self.p:
+            raise OSError(f"chaos: injected failure on {op} (op #{self._k})")
+
+    def write_text_atomic(self, rel, data):
+        self._maybe_fail(f"write_text {rel}")
+        return super().write_text_atomic(rel, data)
+
+    def write_parquet_atomic(self, table, rel, **kw):
+        self._maybe_fail(f"write_parquet {rel}")
+        return super().write_parquet_atomic(table, rel, **kw)
+
+    def delete(self, rel):
+        self._maybe_fail(f"delete {rel}")
+        return super().delete(rel)
+
+
+_CACHE: dict[str, TableFS] = {}
+
+
+def for_root(root: str) -> TableFS:
+    """Resolve (and cache) the TableFS for a root string. Caching keeps
+    stateful wrappers (ChaosFS's op counter) stable within a process."""
+    fs = _CACHE.get(root)
+    if fs is None:
+        fs = _CACHE[root] = TableFS.for_root(root)
+    return fs

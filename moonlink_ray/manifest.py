@@ -35,10 +35,10 @@ event loop, ``src/moonlink/src/table_handler.rs:124-214``).
 from __future__ import annotations
 
 import json
-import os
-import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any
+
+from .fs import for_root
 
 VERSION_HINT = "version-hint.text"
 
@@ -93,41 +93,32 @@ class Snapshot:
         return sum(f.live_rows for f in self.fragments)
 
 
-def _atomic_write(path: str, data: str) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-
-
 def init_table(root: str) -> Snapshot:
     """Create an empty table at ``root`` with snapshot v0."""
-    for sub in ("snapshots", "fragments", "dv", "lineage"):
-        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    fs = for_root(root)
+    for sub in ("snapshots", "fragments", "dv", "lineage", "tmp"):
+        fs.makedirs(sub)
     snap = Snapshot(version=0, parent=None, max_lsn=-1, fragments=[],
                     job={"kind": "init"})
-    _atomic_write(os.path.join(root, "snapshots", "v0.json"), snap.to_json())
-    _atomic_write(os.path.join(root, VERSION_HINT), "0")
+    fs.write_text_atomic("snapshots/v0.json", snap.to_json())
+    fs.write_text_atomic(VERSION_HINT, "0")
     return snap
 
 
 def current_version(root: str) -> int:
-    with open(os.path.join(root, VERSION_HINT)) as f:
-        return int(f.read().strip())
+    return int(for_root(root).read_text(VERSION_HINT).strip())
 
 
 def load(root: str, version: int | None = None) -> Snapshot:
     if version is None:
         version = current_version(root)
-    with open(os.path.join(root, "snapshots", f"v{version}.json")) as f:
-        return Snapshot.from_json(f.read())
+    return Snapshot.from_json(for_root(root).read_text(
+        f"snapshots/v{version}.json"))
 
 
 def list_versions(root: str) -> list[int]:
     out = []
-    for name in os.listdir(os.path.join(root, "snapshots")):
+    for name in for_root(root).listdir("snapshots"):
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
@@ -151,6 +142,7 @@ def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
     ``schema`` defaults to inheriting the parent snapshot's schema, so
     maintenance commits carry an ALTERed schema forward automatically.
     """
+    fs = for_root(root)
     cur = current_version(root)
     if expected_parent is not None and cur != expected_parent:
         raise CommitConflict(f"expected parent v{expected_parent}, found v{cur}")
@@ -159,18 +151,18 @@ def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
     new_version = cur + 1
     snap = Snapshot(version=new_version, parent=cur, max_lsn=max_lsn,
                     fragments=fragments, job=job, schema=schema)
-    snap_path = os.path.join(root, "snapshots", f"v{new_version}.json")
-    if os.path.exists(snap_path):
+    snap_rel = f"snapshots/v{new_version}.json"
+    if fs.exists(snap_rel):
         raise CommitConflict(f"snapshot v{new_version} already exists")
-    _atomic_write(snap_path, snap.to_json())
-    _atomic_write(os.path.join(root, VERSION_HINT), str(new_version))
+    fs.write_text_atomic(snap_rel, snap.to_json())
+    fs.write_text_atomic(VERSION_HINT, str(new_version))
     return snap
 
 
 # ---------------------------------------------------------------- lineage
 
 def lineage_dir(root: str, run_id: str) -> str:
-    return os.path.join(root, "lineage", run_id)
+    return f"lineage/{run_id}"
 
 
 def write_lineage(root: str, run_id: str, part_key: str, record: dict) -> None:
@@ -181,23 +173,23 @@ def write_lineage(root: str, run_id: str, part_key: str, record: dict) -> None:
     bookkeeping (``mooncake_table.rs:459-465``), but at partition (not
     row) granularity, which is what batch resumability needs.
     """
+    fs = for_root(root)
     d = lineage_dir(root, run_id)
-    os.makedirs(d, exist_ok=True)
-    _atomic_write(os.path.join(d, f"{part_key}.json"), json.dumps(record, sort_keys=True))
+    fs.makedirs(d)
+    fs.write_text_atomic(f"{d}/{part_key}.json",
+                         json.dumps(record, sort_keys=True))
 
 
 def read_lineage(root: str, run_id: str) -> dict[str, dict]:
     """Return {part_key: record} for every completed partition of a run."""
+    fs = for_root(root)
     d = lineage_dir(root, run_id)
     out: dict[str, dict] = {}
-    if not os.path.isdir(d):
-        return out
-    for name in sorted(os.listdir(d)):
+    for name in fs.listdir(d):
         if not name.endswith(".json") or ".tmp-" in name:
             continue
         try:
-            with open(os.path.join(d, name)) as f:
-                out[name[:-5]] = json.load(f)
+            out[name[:-5]] = json.loads(fs.read_text(f"{d}/{name}"))
         except (json.JSONDecodeError, OSError):
             # a partially-written sidecar (shouldn't happen: writes are
             # atomic) is treated as not-done
@@ -206,8 +198,8 @@ def read_lineage(root: str, run_id: str) -> dict[str, dict]:
 
 
 def clear_lineage(root: str, run_id: str) -> None:
+    fs = for_root(root)
     d = lineage_dir(root, run_id)
-    if os.path.isdir(d):
-        for name in os.listdir(d):
-            os.unlink(os.path.join(d, name))
-        os.rmdir(d)
+    for name in fs.listdir(d):
+        fs.delete(f"{d}/{name}")
+    fs.delete_dir(d)

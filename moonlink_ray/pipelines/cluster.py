@@ -61,7 +61,6 @@ tasks are ignored), and each finished bucket checkpoints its fragments.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 from collections import Counter
 from dataclasses import asdict
@@ -69,9 +68,9 @@ from dataclasses import asdict
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 from ..fragments import write_fragment
+from ..fs import for_root
 from ..manifest import (FragmentMeta, Snapshot, commit, load, read_lineage,
                         write_lineage)
 from ..sources.scan import scan
@@ -171,8 +170,11 @@ def _plan_buckets(samples: np.ndarray, weights: np.ndarray,
     return boundaries, hot
 
 
-def _spill_dir(root: str, run_id: str) -> str:
-    return os.path.join(root, "tmp", f"cluster-{run_id}", "spill")
+def _spill_dir(run_id: str) -> str:
+    """Spill prefix inside the table root (rides the table's own
+    filesystem — on a multi-node cluster this is the shared object
+    store, i.e. an external shuffle)."""
+    return f"tmp/cluster-{run_id}/spill"
 
 
 class _DeriveSpill:
@@ -223,16 +225,15 @@ class _DeriveSpill:
         stops = np.concatenate([bounds, [len(zb_sorted)]])
         tag = uuid.uuid4().hex[:12]
         out_zb, out_rows, out_file = [], [], []
-        spill = _spill_dir(self.root, self.run_id)
+        fs = for_root(self.root)
+        spill = _spill_dir(self.run_id)
         for s, e in zip(starts, stops):
             b = int(zb_sorted[s])
             part = sorted_t.slice(s, e - s)
-            d = os.path.join(spill, f"b{b:05d}")
-            os.makedirs(d, exist_ok=True)
-            rel = os.path.join(f"b{b:05d}", f"{tag}-{s}.parquet")
-            path = os.path.join(spill, rel)
-            pq.write_table(part, path + ".tmp", compression="NONE")
-            os.replace(path + ".tmp", path)
+            fs.makedirs(f"{spill}/b{b:05d}")
+            rel = f"b{b:05d}/{tag}-{s}.parquet"
+            fs.write_parquet_atomic(part, f"{spill}/{rel}",
+                                    compression="NONE")
             out_zb.append(b)
             out_rows.append(part.num_rows)
             out_file.append(rel)
@@ -263,14 +264,15 @@ class _BucketSort:
         self.__name__ = "ClusterBucketSort"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spill = _spill_dir(self.root, self.run_id)
+        fs = for_root(self.root)
+        spill = _spill_dir(self.run_id)
         metas = []
         for zb in batch["zb"].to_pylist():
             files = self.files.get(int(zb), [])
             if not files:
                 continue
             t = pa.concat_tables(
-                [pq.read_table(os.path.join(spill, f)) for f in files])
+                [fs.read_parquet(f"{spill}/{f}") for f in files])
             t = t.take(pc.sort_indices(
                 t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
                               ("image_id", "ascending")]))
@@ -386,9 +388,7 @@ def cluster(root: str, *, run_id: str | None = None,
                  job={"kind": "cluster", "run_id": run_id,
                       "hot_zkeys": len(hot), "num_buckets": NB},
                  expected_parent=snap.version)
-    import shutil
-    shutil.rmtree(os.path.dirname(_spill_dir(root, run_id)),
-                  ignore_errors=True)
+    for_root(root).delete_dir(f"tmp/cluster-{run_id}")
     return out
 
 

@@ -25,10 +25,9 @@ that, mirroring moonlink's single event loop per table.
 
 from __future__ import annotations
 
-import os
-
 import pyarrow as pa
 
+from ..fs import for_root
 from ..manifest import Snapshot, lineage_dir, list_versions, load
 
 _RAY_DELETE_THRESHOLD = 512
@@ -54,26 +53,15 @@ def _delete_files(root: str, rel_paths: list[str]) -> int:
         import ray.data as rd
 
         def rm(batch: pa.Table) -> pa.Table:
-            n = 0
-            for p in batch["path"].to_pylist():
-                try:
-                    os.unlink(os.path.join(root, p))
-                    n += 1
-                except FileNotFoundError:
-                    pass
+            fs = for_root(root)
+            n = sum(1 for p in batch["path"].to_pylist() if fs.delete(p))
             return pa.table({"n": pa.array([n], pa.int64())})
 
         ds = rd.from_items([{"path": p} for p in rel_paths])
         return sum(r["n"] for r in
                    ds.map_batches(rm, batch_format="pyarrow").take_all())
-    n = 0
-    for p in rel_paths:
-        try:
-            os.unlink(os.path.join(root, p))
-            n += 1
-        except FileNotFoundError:
-            pass
-    return n
+    fs = for_root(root)
+    return sum(1 for p in rel_paths if fs.delete(p))
 
 
 def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict:
@@ -83,14 +71,12 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
     expired = [v for v in versions if v not in retained]
     reachable, retained_runs = _reachable(root, retained)
 
+    fs = for_root(root)
     expired_paths, _ = _reachable(root, expired) if expired else (set(), set())
     candidates: list[str] = []
     for sub in ("fragments", "dv"):
-        d = os.path.join(root, sub)
-        if not os.path.isdir(d):
-            continue
-        for name in os.listdir(d):
-            rel = os.path.join(sub, name)
+        for name in fs.listdir(sub):
+            rel = f"{sub}/{name}"
             if rel in reachable:
                 continue
             if name.endswith(".tmp") or ".tmp-" in name:
@@ -101,23 +87,19 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
     deleted = _delete_files(root, candidates)
 
     for v in expired:
-        try:
-            os.unlink(os.path.join(root, "snapshots", f"v{v}.json"))
-        except FileNotFoundError:
-            pass
+        fs.delete(f"snapshots/v{v}.json")
 
     # stale lineage: runs not referenced by any retained snapshot are
     # either committed-and-expired or aborted; their sidecars are dead.
-    lroot = os.path.join(root, "lineage")
     removed_lineage = []
-    if clean_orphans and os.path.isdir(lroot):
-        for rid in os.listdir(lroot):
+    if clean_orphans:
+        for rid in fs.listdir("lineage"):
             if rid in retained_runs:
                 continue
             d = lineage_dir(root, rid)
-            for name in os.listdir(d):
-                os.unlink(os.path.join(d, name))
-            os.rmdir(d)
+            for name in fs.listdir(d):
+                fs.delete(f"{d}/{name}")
+            fs.delete_dir(d)
             removed_lineage.append(rid)
 
     return {"retained_versions": retained, "expired_versions": expired,
