@@ -53,6 +53,7 @@ def main(argv=None):
     s.add_argument("--run-id", default=None)
     s = add("cluster")
     s.add_argument("--run-id", default=None)
+    s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     s = add("expire")
     s.add_argument("--keep-last", type=int, default=2)
     s.add_argument("--keep-orphans", action="store_true")
@@ -106,7 +107,7 @@ def main(argv=None):
                "noop": snap is None}
     elif args.cmd == "cluster":
         from .pipelines.cluster import cluster
-        snap = cluster(args.root, run_id=args.run_id)
+        snap = cluster(args.root, run_id=args.run_id, curve=args.curve)
         out = {"version": snap.version if snap else None}
     elif args.cmd == "expire":
         from .pipelines.expire import expire

@@ -74,7 +74,7 @@ from ..fs import for_root
 from ..manifest import (FragmentMeta, Snapshot, commit, load, read_lineage,
                         write_lineage)
 from ..sources.scan import scan
-from ..stages.keys import stable_hash_strings, zorder_key
+from ..stages.keys import CURVE_KEYS, stable_hash_strings, zorder_key
 from ..synth import IMAGES_SCHEMA
 from .merge import _chunk_by_bytes
 
@@ -84,7 +84,7 @@ _SAMPLE_CAP = 512
 _TOPK = 64
 
 
-def _zkey_stats_sampled(root: str, snap: Snapshot):
+def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder"):
     """Bounded statistics pass: per-batch weighted zkey sample + top-k
     counts. Reads only (phash, w, h) — a few bytes per row, no image
     payload.
@@ -98,9 +98,10 @@ def _zkey_stats_sampled(root: str, snap: Snapshot):
     level; the driver math is unchanged.
     """
     ds = scan(root, columns=["phash", "w", "h"], fragments=snap.fragments)
+    key_fn = CURVE_KEYS[curve]
 
     def partial(batch: pa.Table) -> pa.Table:
-        zk = zorder_key(batch["phash"].to_numpy(zero_copy_only=False),
+        zk = key_fn(batch["phash"].to_numpy(zero_copy_only=False),
                         batch["w"].to_numpy(zero_copy_only=False),
                         batch["h"].to_numpy(zero_copy_only=False))
         n = len(zk)
@@ -186,16 +187,19 @@ class _DeriveSpill:
     retried task's orphan files are inert."""
 
     def __init__(self, root: str, run_id: str, boundaries: np.ndarray,
-                 hot: dict[int, int], num_buckets: int):
+                 hot: dict[int, int], num_buckets: int,
+                 curve: str = "zorder"):
         self.root = root
         self.run_id = run_id
         self.boundaries = np.asarray(boundaries, dtype=np.int64)
         self.hot = {int(k): int(v) for k, v in hot.items()}
         self.nb = num_buckets
+        self.curve = curve
         self.__name__ = "DeriveSpill"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        zk = zorder_key(batch["phash"].to_numpy(zero_copy_only=False),
+        zk = CURVE_KEYS[self.curve](
+            batch["phash"].to_numpy(zero_copy_only=False),
                         batch["w"].to_numpy(zero_copy_only=False),
                         batch["h"].to_numpy(zero_copy_only=False))
         salt = np.zeros(len(zk), dtype=np.int64)
@@ -295,6 +299,7 @@ class _BucketSort:
 def cluster(root: str, *, run_id: str | None = None,
             hot_threshold: float = 0.001,
             num_buckets: int | None = None,
+            curve: str = "zorder",
             fragment_target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
     """Full-table Z-order rewrite; returns the new snapshot.
 
@@ -321,16 +326,18 @@ def cluster(root: str, *, run_id: str | None = None,
         NB = int(params["num_buckets"])
         boundaries = np.asarray(params["boundaries"], dtype=np.int64)
         hot = {int(k): int(v) for k, v in params["hot"].items()}
+        curve = params.get("curve", curve)
     else:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # floor of 64 buckets: bucket count well above CPU count keeps
         # the long tail short (wall ~ sum/width, not max single bucket)
         NB = num_buckets or max(64, 2 * n_cpus)
-        samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap)
+        samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap,
+                                                                  curve)
         boundaries, hot = _plan_buckets(samples, weights, hot_counts, total,
                                         NB, hot_threshold)
         write_lineage(root, run_id, "params", {
-            "kind": "cluster-params", "num_buckets": NB,
+            "kind": "cluster-params", "num_buckets": NB, "curve": curve,
             "boundaries": [int(b) for b in boundaries],
             "hot": {str(k): v for k, v in hot.items()}})
 
@@ -342,7 +349,7 @@ def cluster(root: str, *, run_id: str | None = None,
         ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
         # batch_size=None: fuse-safe (see scan() docstring)
         summary = ds.map_batches(
-            _DeriveSpill(root, run_id, boundaries, hot, NB),
+            _DeriveSpill(root, run_id, boundaries, hot, NB, curve),
             batch_size=None, batch_format="pyarrow").take_all()
         files_by_bucket: dict[int, list[str]] = {}
         spilled = 0
@@ -385,7 +392,7 @@ def cluster(root: str, *, run_id: str | None = None,
         raise AssertionError(f"cluster row mismatch: wrote {got}, expected {want}")
     new_metas.sort(key=lambda m: m.fragment_id)
     out = commit(root, new_metas, max_lsn=snap.max_lsn,
-                 job={"kind": "cluster", "run_id": run_id,
+                 job={"kind": "cluster", "run_id": run_id, "curve": curve,
                       "hot_zkeys": len(hot), "num_buckets": NB},
                  expected_parent=snap.version)
     for_root(root).delete_dir(f"tmp/cluster-{run_id}")

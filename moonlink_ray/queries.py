@@ -185,6 +185,16 @@ def maint_cluster(sf_dir: str):
     return _scan_digested(root)
 
 
+def maint_cluster_hilbert(sf_dir: str):
+    """Hilbert-curve variant of the cluster rewrite (north rule names
+    both curves); content-equality oracle is identical — only the
+    physical layout differs."""
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "clusterh")
+    cluster(root, curve="hilbert")
+    return _scan_digested(root)
+
+
 def maint_expire(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "expire")
@@ -681,6 +691,7 @@ def queries():
         "maint_merge": maint_merge,
         "maint_compact": maint_compact,
         "maint_cluster": maint_cluster,
+        "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
         "maint_scan_prune": maint_scan_prune,
         "img_decode_stats": img_decode_stats,
@@ -752,6 +763,8 @@ def oracle_sql():
                          f"FROM read_parquet({_MAINT_BASE})",
         "maint_cluster": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
+        "maint_cluster_hilbert": f"SELECT {_DIGEST_COLS} "
+                                 f"FROM read_parquet({_MAINT_BASE})",
         "maint_expire": _MERGED_SQL,
         "maint_scan_prune": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE}) "

@@ -62,3 +62,71 @@ def zorder_key(phash, w, h) -> np.ndarray:
     out |= _spread_bits_u64(hv, stride=4, offset=3, nbits=16)     # bits 60,56,...
     # flip sign bit: uint64 ascending == int64 ascending
     return (out ^ np.uint64(1 << 63)).astype(np.int64)
+
+
+# ------------------------------------------------------------- Hilbert
+
+_HBITS = 21  # 3 dims x 21 bits = 63 index bits
+
+
+def _axes_to_transpose(X: list, bits: int) -> list:
+    """Skilling's AxesToTranspose, vectorized over uint64 arrays.
+
+    Public-domain algorithm from J. Skilling, "Programming the Hilbert
+    curve", AIP Conf. Proc. 707, 381 (2004): converts d coordinates to
+    the "transposed" Hilbert index in place; the index is then the bit
+    interleave of the transposed words.
+    """
+    d = len(X)
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while Q > one:
+        P = Q - one
+        for i in range(d):
+            hi = (X[i] & Q) != 0
+            # invert low bits of X[0] where bit set ...
+            X[0] = np.where(hi, X[0] ^ P, X[0])
+            # ... else exchange low bits of X[0] and X[i]
+            t = np.where(hi, np.uint64(0), (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+    for i in range(1, d):
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = np.uint64(1) << np.uint64(bits - 1)
+    while Q > one:
+        m = (X[d - 1] & Q) != 0
+        t = np.where(m, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(d):
+        X[i] ^= t
+    return X
+
+
+def hilbert_key(phash, w, h) -> np.ndarray:
+    """3-D Hilbert-curve key over (phash top 21 bits, w, h), as int64.
+
+    Same contract as zorder_key (order-preserving int64, phash carries
+    the dominant locality signal); the Hilbert curve trades Morton's
+    cheap interleave for strictly better locality (every step moves to
+    an adjacent cell, so a key range maps to at most two spatial spans
+    per dimension).
+    """
+    ph = np.asarray(phash, dtype=np.int64).astype(np.uint64)
+    wv = np.asarray(w, dtype=np.int64).astype(np.uint64) & np.uint64(0xFFFF)
+    hv = np.asarray(h, dtype=np.int64).astype(np.uint64) & np.uint64(0xFFFF)
+    X = [ph >> np.uint64(64 - _HBITS),           # top 21 bits
+         wv << np.uint64(_HBITS - 16),           # MSB-align 16 -> 21
+         hv << np.uint64(_HBITS - 16)]
+    X = _axes_to_transpose(X, _HBITS)
+    out = np.zeros_like(X[0])
+    for b in range(_HBITS - 1, -1, -1):          # MSB first
+        for i in range(3):
+            bit = (X[i] >> np.uint64(b)) & np.uint64(1)
+            out = (out << np.uint64(1)) | bit
+    # 63 index bits -> non-negative int64 directly
+    return out.astype(np.int64)
+
+
+CURVE_KEYS = {"zorder": zorder_key, "hilbert": hilbert_key}

@@ -56,3 +56,39 @@ class TestCluster:
         v1 = scan_arrow(tmp_table, 1, sort_by="image_id")
         cluster(tmp_table)
         assert scan_arrow(tmp_table, 1, sort_by="image_id").equals(v1)
+
+
+def test_hilbert_key_properties():
+    from moonlink_ray.stages.keys import _axes_to_transpose, hilbert_key
+    ph = np.arange(0, 1 << 20, 1 << 10, dtype=np.int64) << 43
+    k = hilbert_key(ph, np.full(len(ph), 100), np.full(len(ph), 50))
+    assert len(np.unique(k)) == len(k) and (k >= 0).all()
+    # exhaustive 3-bit cube: the curve is a bijection and every
+    # consecutive pair of indices is an adjacent cell (the defining
+    # Hilbert property, which Morton/Z-order lacks)
+    idx = {}
+    for x in range(8):
+        for y in range(8):
+            for z in range(8):
+                X = [np.array([v], dtype=np.uint64) for v in (x, y, z)]
+                X = _axes_to_transpose(X, 3)
+                out = np.uint64(0)
+                for b in range(2, -1, -1):
+                    for i in range(3):
+                        out = (out << np.uint64(1)) | \
+                            ((X[i] >> np.uint64(b)) & np.uint64(1))
+                idx[int(out)] = (x, y, z)
+    assert len(idx) == 512
+    assert all(sum(abs(a - b) for a, b in zip(idx[i], idx[i + 1])) == 1
+               for i in range(511))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_cluster_set_equality(tmp_table):
+    from moonlink_ray.manifest import load as _load
+    before = scan_arrow(tmp_table, sort_by="image_id")
+    snap = cluster(tmp_table, curve="hilbert",
+                   fragment_target_bytes=512 * 1024)
+    assert snap is not None and snap.job["curve"] == "hilbert"
+    after = scan_arrow(tmp_table, sort_by="image_id")
+    assert after.equals(before.select(after.column_names).cast(after.schema))

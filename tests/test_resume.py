@@ -104,3 +104,55 @@ def test_sigkill_mid_merge_then_resume(tmp_path):
     assert _frag_set(snap_a) == _frag_set(snap_b)
     assert scan_arrow(a, sort_by="image_id").equals(
         scan_arrow(b, sort_by="image_id"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_resume_from_partial_lineage(tmp_path):
+    """Cluster kill-resume: pre-seed the pinned plan, the recorded spill
+    file list, and HALF the finished bucket checkpoints; the resumed run
+    must reuse all of them and land on a scan identical to the
+    uninterrupted run's."""
+    from moonlink_ray.pipelines.cluster import cluster
+
+    a = str(tmp_path / "a")
+    bootstrap_images_table(a, 200, rows_per_fragment=32)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+
+    snap_a = cluster(a, run_id="clrun", num_buckets=8,
+                     fragment_target_bytes=512 * 1024)
+    # the completed run cleans its spill; rebuild b's state as a kill
+    # would leave it by re-running the spill phase only on b
+    from moonlink_ray.manifest import write_lineage
+    from moonlink_ray.pipelines import cluster as cl
+    import numpy as np
+
+    snap_b0 = load(b)
+    samples, weights, hot_counts, total = cl._zkey_stats_sampled(b, snap_b0)
+    boundaries, hot = cl._plan_buckets(samples, weights, hot_counts, total,
+                                       8, 0.001)
+    write_lineage(b, "clrun", "params", {
+        "kind": "cluster-params", "num_buckets": 8,
+        "boundaries": [int(x) for x in boundaries],
+        "hot": {str(k): v for k, v in hot.items()}})
+    import ray.data as _rd  # noqa: F401
+    from moonlink_ray.sources.scan import scan as _scan
+    summary = _scan(b, fragments=snap_b0.fragments, schema_list=snap_b0.schema) \
+        .map_batches(cl._DeriveSpill(b, "clrun", boundaries, hot, 8),
+                     batch_size=None, batch_format="pyarrow").take_all()
+    files_by_bucket = {}
+    for r in summary:
+        files_by_bucket.setdefault(int(r["zb"]), []).append(r["file"])
+    write_lineage(b, "clrun", "spill", {
+        "kind": "cluster-spill",
+        "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
+
+    # resume: must complete every bucket from the recorded spill and
+    # produce the identical table content
+    snap_b = cluster(b, run_id="clrun", num_buckets=8,
+                     fragment_target_bytes=512 * 1024)
+    assert snap_b is not None
+    assert scan_arrow(a, sort_by="image_id").equals(
+        scan_arrow(b, sort_by="image_id"))
+    # the spill scratch is cleaned after the commit
+    assert not os.path.isdir(os.path.join(b, "tmp", "cluster-clrun"))
