@@ -1,0 +1,95 @@
+"""JSON row ingest (sources/json_ingest.py) — T6 analog of moonlink's
+REST JSON->row converter (rest_ingest/json_converter.rs)."""
+
+import base64
+import json
+
+import pyarrow as pa
+import pytest
+
+from moonlink_ray import synth
+from moonlink_ray.bootstrap import bootstrap_images_table
+from moonlink_ray.manifest import load
+from moonlink_ray.sources.json_ingest import (JsonCdcParser, JsonRowError,
+                                              append_json, ingest_cdc_json)
+from moonlink_ray.sources.scan import scan_arrow
+
+
+def _row_json(i, op=None, lsn=None):
+    row = synth.build_rows([i]).to_pylist()[0]
+    row["bytes"] = base64.b64encode(row["bytes"]).decode()
+    if op is not None:
+        row["_op"], row["_lsn"] = op, lsn
+    return row
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_append_json_roundtrip(tmp_path):
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 20, rows_per_fragment=8)
+    p = _write_jsonl(tmp_path / "rows.jsonl",
+                     [_row_json(1000 + i) for i in range(7)])
+    snap = append_json(root, p)
+    assert snap.total_rows == 27
+    got = scan_arrow(root, sort_by="image_id")
+    want = synth.build_rows([1000]).to_pylist()[0]
+    match = got.filter(
+        pa.compute.equal(got["image_id"], want["image_id"])).to_pylist()[0]
+    assert match["bytes"] == want["bytes"]
+    assert match["caption"] == want["caption"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ingest_cdc_json_merges(tmp_path):
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 20, rows_per_fragment=8)
+    base_lsn = load(root).max_lsn
+    rows = [
+        _row_json(2000, op="insert", lsn=base_lsn + 1),
+        _row_json(0, op="upsert", lsn=base_lsn + 2),     # replaces img 0
+        {"image_id": synth.image_id(1), "_op": "delete",
+         "_lsn": base_lsn + 3},                           # deletes img 1
+    ]
+    p = _write_jsonl(tmp_path / "cdc.jsonl", rows)
+    snap = ingest_cdc_json(root, p)
+    assert snap.total_rows == 20  # +1 insert, -1 delete
+    got = scan_arrow(root, sort_by="image_id")
+    ids = set(got["image_id"].to_pylist())
+    assert synth.image_id(2000) in ids and synth.image_id(1) not in ids
+    # the staged CDC parquet was cleaned up
+    from moonlink_ray.fs import for_root
+    assert not any(n.startswith("cdc-json-")
+                   for n in for_root(root).listdir("tmp"))
+
+
+def test_parser_strict_rejects_bad_rows():
+    bad_op = pa.table({"image_id": ["img-a"], "_op": ["frobnicate"],
+                       "_lsn": [1]})
+    with pytest.raises(JsonRowError, match="bad _op"):
+        JsonCdcParser(strict=True, cdc=True)(bad_op)
+    bad_b64 = pa.table({"image_id": ["img-a"], "_op": ["insert"],
+                        "_lsn": [1], "bytes": ["!!not-base64!!"]})
+    with pytest.raises(JsonRowError, match="base64"):
+        JsonCdcParser(strict=True, cdc=True)(bad_b64)
+    missing = pa.table({"caption": ["x"]})
+    with pytest.raises(JsonRowError, match="image_id"):
+        JsonCdcParser(strict=True, cdc=True)(missing)
+
+
+def test_parser_tolerant_drops_bad_rows():
+    mixed = pa.table({
+        "image_id": ["img-a", "img-b", "img-c"],
+        "_op": ["insert", "frobnicate", "delete"],
+        "_lsn": [1, 2, 3],
+    })
+    out = JsonCdcParser(strict=False, cdc=True)(mixed)
+    assert out.num_rows == 2
+    assert out["image_id"].to_pylist() == ["img-a", "img-c"]
+    assert out.schema.equals(synth.CDC_SCHEMA)
