@@ -890,6 +890,55 @@ def oracle_sql():
                         GREATEST(len(text), 1)) AS BIGINT) AS alpha_permille
             FROM documents""",
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "text_quality": r"""
+            WITH t AS (
+              SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
+            f AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(txt), '[a-z0-9'']+') AS toks,
+                     len(txt) AS nchar,
+                     length(regexp_replace(txt, '[^A-Za-z]', '', 'g')) AS nalpha
+              FROM t),
+            g AS (
+              SELECT doc_id,
+                     len(list_filter(toks, tk -> list_contains(
+                         ['the','and','of','a','to','in','is','it','that','for'],
+                         tk))) * 1.0 / GREATEST(len(toks), 1) AS stop_ratio,
+                     LEAST(nchar / 500.0, 1.0) *
+                       LEAST(2000.0 / GREATEST(nchar, 1), 1.0) AS len_score,
+                     nalpha * 1.0 / GREATEST(nchar, 1) AS alpha
+              FROM f)
+            SELECT doc_id,
+                   CAST(FLOOR((0.4 * len_score
+                               + 0.3 * LEAST(stop_ratio * 4, 1.0)
+                               + 0.3 * alpha) * 1000.0) AS BIGINT)
+                     AS quality_permille
+            FROM g""",
+        "text_langid": r"""
+            -- mirror of stages/text.py lang_id: han-script short-circuit,
+            -- else first-in-order stopword-hit argmax (ties/zero -> en);
+            -- float-free, so the hash compare is exact
+            WITH t AS (SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
+            f AS (
+              SELECT doc_id,
+                     length(regexp_replace(substr(txt, 1, 200),
+                            '[^\x{4e00}-\x{9fff}]', '', 'g')) AS han,
+                     regexp_extract_all(lower(txt), '[a-z0-9'']+') AS toks
+              FROM t),
+            h AS (
+              SELECT doc_id, han,
+                len(list_filter(toks, tk -> list_contains(['the','and','of','a','to','in','is','it','that','for'], tk))) AS h_en,
+                len(list_filter(toks, tk -> list_contains(['el','la','de','que','y','en','un','una','los','por'], tk))) AS h_es,
+                len(list_filter(toks, tk -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], tk))) AS h_de,
+                len(list_filter(toks, tk -> list_contains(['le','la','de','et','un','une','est','que','pour','dans'], tk))) AS h_fr
+              FROM f)
+            SELECT doc_id,
+              CASE WHEN han > 5 THEN 'zh'
+                   WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+                   WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                   WHEN h_de >= h_fr THEN 'de'
+                   ELSE 'fr' END AS lang_pred
+            FROM h""",
         "dedup_embedding": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b
@@ -907,7 +956,9 @@ def oracle_sql():
                                             ORDER BY sim DESC, vec_id) rn
                   FROM s)
             SELECT query_id, vec_id FROM r WHERE rn <= 10""",
-        # rows-only (non-SQL-expressible / heuristic / approximate):
-        # img_decode_stats, dedup_minhash, dedup_simhash, text_langid,
-        # text_quality, text_rolling_fp, ann_lsh, ann_ivf
+        # rows-only (non-SQL-expressible / approximate / non-relational):
+        # dedup_minhash, dedup_simhash (hash pipelines), text_rolling_fp
+        # (rolling min-hash), ann_lsh, ann_ivf (approximate by design),
+        # audio_features (SQL cannot decode WAV) — each holds a pytest
+        # ground-truth or brute-force parity proof instead
     }
