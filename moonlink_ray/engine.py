@@ -54,6 +54,7 @@ def main(argv=None):
     s = add("cluster")
     s.add_argument("--run-id", default=None)
     s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    s.add_argument("--exchange", default="plasma", choices=["plasma", "spill"])
     s = add("expire")
     s.add_argument("--keep-last", type=int, default=2)
     s.add_argument("--keep-orphans", action="store_true")
@@ -107,7 +108,8 @@ def main(argv=None):
                "noop": snap is None}
     elif args.cmd == "cluster":
         from .pipelines.cluster import cluster
-        snap = cluster(args.root, run_id=args.run_id, curve=args.curve)
+        snap = cluster(args.root, run_id=args.run_id, curve=args.curve,
+                       exchange=args.exchange)
         out = {"version": snap.version if snap else None}
     elif args.cmd == "expire":
         from .pipelines.expire import expire

@@ -68,6 +68,7 @@ from dataclasses import asdict
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..fragments import write_fragment
 from ..fs import for_root
@@ -171,6 +172,95 @@ def _plan_buckets(samples: np.ndarray, weights: np.ndarray,
     return boundaries, hot
 
 
+def _derive_zb(batch: pa.Table, boundaries: np.ndarray,
+               hot: dict[int, int], num_buckets: int, curve: str):
+    """Compute (_zkey, _salt, _zb) for a batch (shared by both exchange
+    paths). Hot zkeys are spread across a run of buckets by a stable
+    hash of image_id (salting)."""
+    zk = CURVE_KEYS[curve](batch["phash"].to_numpy(zero_copy_only=False),
+                           batch["w"].to_numpy(zero_copy_only=False),
+                           batch["h"].to_numpy(zero_copy_only=False))
+    salt = np.zeros(len(zk), dtype=np.int64)
+    zb = (np.searchsorted(boundaries, zk, side="left").astype(np.int64)
+          if len(boundaries) else np.zeros(len(zk), dtype=np.int64))
+    if hot:
+        hot_keys = np.fromiter(hot.keys(), dtype=np.int64)
+        hot_mask = np.isin(zk, hot_keys)
+        if hot_mask.any():
+            salts = (stable_hash_strings(batch["image_id"])
+                     % np.uint64(1 << 16)).astype(np.int64)
+            salt[hot_mask] = salts[hot_mask]
+            spread = np.array([hot[int(z)] for z in zk[hot_mask]],
+                              dtype=np.int64)
+            zb[hot_mask] = np.minimum(
+                zb[hot_mask] + salts[hot_mask] % np.maximum(spread, 1),
+                num_buckets - 1)
+    return zk, salt, zb
+
+
+class _Derive:
+    """Plasma-exchange derive stage: append key columns (and drop rows
+    of buckets a resumed run already finished)."""
+
+    def __init__(self, boundaries, hot, num_buckets, curve,
+                 done_buckets=()):
+        self.boundaries = np.asarray(boundaries, dtype=np.int64)
+        self.hot = {int(k): int(v) for k, v in hot.items()}
+        self.nb = num_buckets
+        self.curve = curve
+        self.done = np.asarray(sorted(done_buckets), dtype=np.int64)
+        self.__name__ = "ClusterDerive"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        zk, salt, zb = _derive_zb(batch, self.boundaries, self.hot,
+                                  self.nb, self.curve)
+        batch = batch.append_column("_zkey", pa.array(zk, pa.int64()))
+        batch = batch.append_column("_salt", pa.array(salt, pa.int64()))
+        batch = batch.append_column("_zb", pa.array(zb, pa.int64()))
+        if len(self.done):
+            batch = batch.filter(pa.array(~np.isin(zb, self.done)))
+        return batch
+
+
+class _WriteBucket:
+    """map_groups callable for the plasma exchange: one call per range
+    bucket — zero-copy Arrow sort, size-capped fragment writes, and a
+    per-bucket lineage checkpoint (same resume granularity as the spill
+    path's _BucketSort)."""
+
+    def __init__(self, root, run_id, target_bytes, max_lsn, schema_names,
+                 sources, schema_list=None):
+        from ..schema import schema_from_list
+        self.root = root
+        self.run_id = run_id
+        self.target_bytes = target_bytes
+        self.max_lsn = max_lsn
+        self.schema_names = schema_names
+        self.sources = sources
+        schema = schema_from_list(schema_list)
+        self.schema = schema if schema is not None else IMAGES_SCHEMA
+        self.__name__ = "ClusterBucketWriter"
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        zb = int(t["_zb"][0].as_py())
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
+                          ("image_id", "ascending")]))
+        out = t.select(self.schema_names).cast(self.schema)
+        metas = []
+        for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
+            frag_id = f"frag-{self.run_id}-z{zb:05d}-{n:03d}"
+            metas.append(write_fragment(self.root, chunk, frag_id,
+                                        lineage=self.sources,
+                                        max_lsn=self.max_lsn))
+        write_lineage(self.root, self.run_id, f"zb-{zb:05d}", {
+            "kind": "cluster-bucket", "bucket": zb,
+            "fragments": [asdict(m) for m in metas],
+        })
+        return pa.table({"meta": pa.array(
+            [json.dumps(asdict(m)) for m in metas], pa.string())})
+
+
 def _spill_dir(run_id: str) -> str:
     """Spill prefix inside the table root (rides the table's own
     filesystem — on a multi-node cluster this is the shared object
@@ -198,29 +288,17 @@ class _DeriveSpill:
         self.__name__ = "DeriveSpill"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        zk = CURVE_KEYS[self.curve](
-            batch["phash"].to_numpy(zero_copy_only=False),
-                        batch["w"].to_numpy(zero_copy_only=False),
-                        batch["h"].to_numpy(zero_copy_only=False))
-        salt = np.zeros(len(zk), dtype=np.int64)
-        zb = (np.searchsorted(self.boundaries, zk, side="left").astype(np.int64)
-              if len(self.boundaries) else np.zeros(len(zk), dtype=np.int64))
-        if self.hot:
-            hot_keys = np.fromiter(self.hot.keys(), dtype=np.int64)
-            hot_mask = np.isin(zk, hot_keys)
-            if hot_mask.any():
-                salts = (stable_hash_strings(batch["image_id"])
-                         % np.uint64(1 << 16)).astype(np.int64)
-                salt[hot_mask] = salts[hot_mask]
-                spread = np.array([self.hot[int(z)] for z in zk[hot_mask]],
-                                  dtype=np.int64)
-                zb[hot_mask] = np.minimum(
-                    zb[hot_mask] + salts[hot_mask] % np.maximum(spread, 1),
-                    self.nb - 1)
+        zk, salt, zb = _derive_zb(batch, self.boundaries, self.hot,
+                                  self.nb, self.curve)
         batch = batch.append_column("_zkey", pa.array(zk, pa.int64()))
         batch = batch.append_column("_salt", pa.array(salt, pa.int64()))
 
-        # slice the block into per-bucket runs (one stable sort by _zb)
+        # ONE spill file per task, bucket-aligned row groups: slice the
+        # block into per-bucket runs (one stable sort by _zb) and write
+        # each run as its own row group. Bucket readers then fetch only
+        # their row groups — file count stays O(tasks), not
+        # O(tasks x buckets), which matters when the table has hundreds
+        # of input fragments.
         order = np.argsort(zb, kind="stable")
         sorted_t = batch.take(pa.array(order))
         zb_sorted = zb[order]
@@ -228,22 +306,28 @@ class _DeriveSpill:
         starts = np.concatenate([[0], bounds])
         stops = np.concatenate([bounds, [len(zb_sorted)]])
         tag = uuid.uuid4().hex[:12]
-        out_zb, out_rows, out_file = [], [], []
         fs = for_root(self.root)
         spill = _spill_dir(self.run_id)
-        for s, e in zip(starts, stops):
-            b = int(zb_sorted[s])
-            part = sorted_t.slice(s, e - s)
-            fs.makedirs(f"{spill}/b{b:05d}")
-            rel = f"b{b:05d}/{tag}-{s}.parquet"
-            fs.write_parquet_atomic(part, f"{spill}/{rel}",
-                                    compression="NONE")
-            out_zb.append(b)
-            out_rows.append(part.num_rows)
-            out_file.append(rel)
+        fs.makedirs(spill)
+        rel = f"{tag}.parquet"
+        full = fs.full(f"{spill}/{rel}")
+        out_zb, out_rows = [], []
+        writer = pq.ParquetWriter(full + ".tmp", sorted_t.schema,
+                                  compression="NONE", filesystem=fs.fs)
+        try:
+            for s, e in zip(starts, stops):
+                part = sorted_t.slice(s, e - s)
+                writer.write_table(part, row_group_size=part.num_rows)
+                out_zb.append(int(zb_sorted[s]))
+                out_rows.append(part.num_rows)
+        finally:
+            writer.close()
+        fs.fs.move(full + ".tmp", full)
+        n = len(out_zb)
         return pa.table({"zb": pa.array(out_zb, pa.int64()),
                          "rows": pa.array(out_rows, pa.int64()),
-                         "file": pa.array(out_file, pa.string())})
+                         "file": pa.array([rel] * n, pa.string()),
+                         "rg": pa.array(list(range(n)), pa.int64())})
 
 
 class _BucketSort:
@@ -275,8 +359,12 @@ class _BucketSort:
             files = self.files.get(int(zb), [])
             if not files:
                 continue
-            t = pa.concat_tables(
-                [fs.read_parquet(f"{spill}/{f}") for f in files])
+            parts = []
+            for f, rg in files:
+                pf = pq.ParquetFile(fs.full(f"{spill}/{f}"),
+                                    filesystem=fs.fs)
+                parts.append(pf.read_row_group(int(rg)))
+            t = pa.concat_tables(parts)
             t = t.take(pc.sort_indices(
                 t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
                               ("image_id", "ascending")]))
@@ -300,13 +388,27 @@ def cluster(root: str, *, run_id: str | None = None,
             hot_threshold: float = 0.001,
             num_buckets: int | None = None,
             curve: str = "zorder",
+            exchange: str = "plasma",
             fragment_target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
-    """Full-table Z-order rewrite; returns the new snapshot.
+    """Full-table Z-order/Hilbert rewrite; returns the new snapshot.
 
-    At 100 TB scale this job runs per key-range shard of the table
-    (cluster a shard per invocation); the exchange is then bounded by
-    the shard, not the table. The sandbox fixture clusters the whole
-    table.
+    ``exchange`` picks the wide path:
+    - ``"plasma"`` (default): derive -> ``groupby(_zb).map_groups`` —
+      the Ray-native in-memory exchange; right on a single node or when
+      the cluster's object store comfortably holds the shard.
+    - ``"spill"``: derive tasks write bucket-aligned row groups to the
+      table's own filesystem, bucket tasks read exactly their recorded
+      row groups — an external shuffle (Spark/Cosco-style) that rides
+      the object store on multi-node deployments, keeps plasma out of
+      the wide path, and makes the exchange itself resumable (the
+      recorded spill survives a kill; plasma resume redoes the exchange
+      but still skips finished buckets).
+
+    Both paths share the pinned plan, the per-bucket lineage
+    checkpoints, and the salted range-bucket math. At 100 TB scale this
+    job runs per key-range shard of the table (cluster a shard per
+    invocation); the exchange is then bounded by the shard, not the
+    table. The sandbox fixture clusters the whole table.
     """
     import ray
     import ray.data as rd
@@ -327,6 +429,7 @@ def cluster(root: str, *, run_id: str | None = None,
         boundaries = np.asarray(params["boundaries"], dtype=np.int64)
         hot = {int(k): int(v) for k, v in params["hot"].items()}
         curve = params.get("curve", curve)
+        exchange = params.get("exchange", exchange)
     else:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # floor of 64 buckets: bucket count well above CPU count keeps
@@ -338,34 +441,13 @@ def cluster(root: str, *, run_id: str | None = None,
                                         NB, hot_threshold)
         write_lineage(root, run_id, "params", {
             "kind": "cluster-params", "num_buckets": NB, "curve": curve,
+            "exchange": exchange,
             "boundaries": [int(b) for b in boundaries],
             "hot": {str(k): v for k, v in hot.items()}})
 
-    # -- pass 2a: spill (skipped wholesale on resume once recorded)
-    spill_rec = done.get("spill")
-    if spill_rec:
-        files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
-    else:
-        ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
-        # batch_size=None: fuse-safe (see scan() docstring)
-        summary = ds.map_batches(
-            _DeriveSpill(root, run_id, boundaries, hot, NB, curve),
-            batch_size=None, batch_format="pyarrow").take_all()
-        files_by_bucket: dict[int, list[str]] = {}
-        spilled = 0
-        for r in summary:
-            files_by_bucket.setdefault(int(r["zb"]), []).append(r["file"])
-            spilled += int(r["rows"])
-        if spilled != snap.total_rows:
-            raise AssertionError(
-                f"cluster spill row mismatch: {spilled} != {snap.total_rows}")
-        write_lineage(root, run_id, "spill", {
-            "kind": "cluster-spill",
-            "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
-
-    # -- pass 2b: per-bucket sort + fragment writes (bucket-level resume)
     from ..schema import table_schema
     out_schema = table_schema(snap)
+    sources = sorted(f.fragment_id for f in snap.fragments)
     new_metas: list[FragmentMeta] = []
     done_buckets = set()
     for k, rec in done.items():
@@ -373,18 +455,56 @@ def cluster(root: str, *, run_id: str | None = None,
             done_buckets.add(rec["bucket"])
             new_metas.extend(FragmentMeta.from_dict(d)
                              for d in rec["fragments"])
-    todo = sorted(b for b in files_by_bucket if b not in done_buckets)
-    if todo:
-        files_ref = ray.put(files_by_bucket)  # broadcast once
-        items = rd.from_items([{"zb": b} for b in todo],
-                              override_num_blocks=len(todo))
-        sources = sorted(f.fragment_id for f in snap.fragments)
-        rows = items.map_batches(
-            _BucketSort(root, run_id, files_ref, fragment_target_bytes,
-                        snap.max_lsn, out_schema.names, sources, snap.schema),
-            batch_size=1, batch_format="pyarrow").take_all()
+
+    if exchange == "plasma":
+        ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
+        # batch_size=None: fuse-safe (see scan() docstring)
+        ds = ds.map_batches(_Derive(boundaries, hot, NB, curve, done_buckets),
+                            batch_size=None, batch_format="pyarrow")
+        rows = ds.groupby("_zb").map_groups(
+            _WriteBucket(root, run_id, fragment_target_bytes, snap.max_lsn,
+                         out_schema.names, sources, snap.schema),
+            batch_format="pyarrow").take_all()
         new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                          for r in rows)
+    elif exchange == "spill":
+        # -- pass 2a: spill (skipped wholesale on resume once recorded)
+        spill_rec = done.get("spill")
+        if spill_rec:
+            files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
+        else:
+            ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
+            summary = ds.map_batches(
+                _DeriveSpill(root, run_id, boundaries, hot, NB, curve),
+                batch_size=None, batch_format="pyarrow").take_all()
+            files_by_bucket = {}
+            spilled = 0
+            for r in summary:
+                files_by_bucket.setdefault(int(r["zb"]), []).append(
+                    [r["file"], int(r["rg"])])
+                spilled += int(r["rows"])
+            if spilled != snap.total_rows:
+                raise AssertionError(
+                    f"cluster spill row mismatch: {spilled} != {snap.total_rows}")
+            write_lineage(root, run_id, "spill", {
+                "kind": "cluster-spill",
+                "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
+
+        # -- pass 2b: per-bucket sort + fragment writes (bucket resume)
+        todo = sorted(b for b in files_by_bucket if b not in done_buckets)
+        if todo:
+            files_ref = ray.put(files_by_bucket)  # broadcast once
+            items = rd.from_items([{"zb": b} for b in todo],
+                                  override_num_blocks=len(todo))
+            rows = items.map_batches(
+                _BucketSort(root, run_id, files_ref, fragment_target_bytes,
+                            snap.max_lsn, out_schema.names, sources,
+                            snap.schema),
+                batch_size=1, batch_format="pyarrow").take_all()
+            new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
+                             for r in rows)
+    else:
+        raise ValueError(f"unknown exchange {exchange!r}")
 
     got = sum(m.rows for m in new_metas)
     want = snap.total_rows
@@ -393,6 +513,7 @@ def cluster(root: str, *, run_id: str | None = None,
     new_metas.sort(key=lambda m: m.fragment_id)
     out = commit(root, new_metas, max_lsn=snap.max_lsn,
                  job={"kind": "cluster", "run_id": run_id, "curve": curve,
+                      "exchange": exchange,
                       "hot_zkeys": len(hot), "num_buckets": NB},
                  expected_parent=snap.version)
     for_root(root).delete_dir(f"tmp/cluster-{run_id}")

@@ -119,7 +119,7 @@ def test_cluster_resume_from_partial_lineage(tmp_path):
     b = str(tmp_path / "b")
     shutil.copytree(a, b)
 
-    snap_a = cluster(a, run_id="clrun", num_buckets=8,
+    snap_a = cluster(a, run_id="clrun", num_buckets=8, exchange="spill",
                      fragment_target_bytes=512 * 1024)
     # the completed run cleans its spill; rebuild b's state as a kill
     # would leave it by re-running the spill phase only on b
@@ -132,7 +132,7 @@ def test_cluster_resume_from_partial_lineage(tmp_path):
     boundaries, hot = cl._plan_buckets(samples, weights, hot_counts, total,
                                        8, 0.001)
     write_lineage(b, "clrun", "params", {
-        "kind": "cluster-params", "num_buckets": 8,
+        "kind": "cluster-params", "num_buckets": 8, "exchange": "spill",
         "boundaries": [int(x) for x in boundaries],
         "hot": {str(k): v for k, v in hot.items()}})
     import ray.data as _rd  # noqa: F401
@@ -142,7 +142,8 @@ def test_cluster_resume_from_partial_lineage(tmp_path):
                      batch_size=None, batch_format="pyarrow").take_all()
     files_by_bucket = {}
     for r in summary:
-        files_by_bucket.setdefault(int(r["zb"]), []).append(r["file"])
+        files_by_bucket.setdefault(int(r["zb"]), []).append(
+            [r["file"], int(r["rg"])])
     write_lineage(b, "clrun", "spill", {
         "kind": "cluster-spill",
         "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
@@ -156,3 +157,34 @@ def test_cluster_resume_from_partial_lineage(tmp_path):
         scan_arrow(b, sort_by="image_id"))
     # the spill scratch is cleaned after the commit
     assert not os.path.isdir(os.path.join(b, "tmp", "cluster-clrun"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cluster_plasma_resume_skips_done_buckets(tmp_path):
+    """Plasma-exchange resume: finished bucket checkpoints are honored
+    (their rows are filtered out of the re-run exchange) and the final
+    scan matches the uninterrupted run."""
+    from moonlink_ray.manifest import write_lineage
+    from moonlink_ray.pipelines.cluster import cluster
+
+    a = str(tmp_path / "a")
+    bootstrap_images_table(a, 200, rows_per_fragment=32)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+
+    snap_a = cluster(a, run_id="plrun", num_buckets=8,
+                     fragment_target_bytes=512 * 1024)
+    done = read_lineage(a, "plrun")
+    # seed b with the pinned plan + half the finished buckets
+    write_lineage(b, "plrun", "params", done["params"])
+    seeded = [k for k in sorted(done) if k.startswith("zb-")][:4]
+    for k in seeded:
+        write_lineage(b, "plrun", k, done[k])
+        for fm in done[k]["fragments"]:
+            shutil.copyfile(os.path.join(a, fm["path"]),
+                            os.path.join(b, fm["path"]))
+    snap_b = cluster(b, run_id="plrun", num_buckets=8,
+                     fragment_target_bytes=512 * 1024)
+    assert _frag_set(snap_a) == _frag_set(snap_b)
+    assert scan_arrow(a, sort_by="image_id").equals(
+        scan_arrow(b, sort_by="image_id"))
