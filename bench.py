@@ -30,6 +30,50 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def prefault_guest_memory(target_gb: int = 24, budget_s: int = 120) -> float:
+    """Touch a working-set's worth of tmpfs pages once (then free them).
+
+    The sandbox VM (Firecracker) faults guest frames in from the host
+    lazily: the FIRST-ever touch of a frame costs a host-side fault
+    (measured ~0.1-1 GB/s aggregate regardless of cores), while
+    recycled frames run at memory speed (~50+ GB/s aggregate). Without
+    this warmup the first timed rep measures the host's lazy
+    allocation, not the engine. Real cluster nodes don't share this
+    pathology (long-lived hosts have their frames faulted at boot), so
+    pre-faulting once per process tree is honest measurement hygiene —
+    the same class as warming a page cache. Time-bounded so a
+    bad-weather host can't stall the bench."""
+    import numpy as np  # noqa: F401  (imported for parity with workers)
+
+    root = os.environ.get("MLRAY_DATA_ROOT",
+                          "/dev/shm/mlray" if os.access("/dev/shm", os.W_OK)
+                          else "/tmp/mlray")
+    os.makedirs(root, exist_ok=True)
+    buf = b"\xab" * (64 << 20)
+    t0 = time.time()
+    written = 0
+    paths = []
+    i = 0
+    try:
+        while written < target_gb * (1 << 30) and time.time() - t0 < budget_s:
+            p = os.path.join(root, f".prefault{i}")
+            i += 1
+            with open(p, "wb") as f:
+                for _ in range(16):  # 1 GiB per file
+                    f.write(buf)
+                    if time.time() - t0 > budget_s:
+                        break
+            paths.append(p)
+            written += os.path.getsize(p)
+    finally:
+        for p in paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return written / 1e9
+
+
 def run_suite(rep: int = 0) -> dict:
     from moonlink_ray.queries import (_COMPACT_CFG, _fresh_copy,
                                       ensure_images_fixture)
@@ -40,6 +84,8 @@ def run_suite(rep: int = 0) -> dict:
     from moonlink_ray.sources.scan import scan
 
     fix = ensure_images_fixture(SF_DIR)  # cached; synthesis NOT timed
+    if rep == 0:
+        prefault_guest_memory()  # untimed (see BASELINE.md hygiene)
     root = _fresh_copy(fix, f"bench{NCPU}r{rep}")
 
     # warm the page cache with one untimed scan so we measure

@@ -95,7 +95,10 @@ def ensure_images_fixture(sf_dir: str) -> dict:
     base_dir = os.path.join(DATA_ROOT, name)
     n = _rows_for_sf(sf_dir)
     scale = _scale_for_sf(sf_dir)
-    n_ops = n // 2
+    # bench scale: CDC as large as the base table so MERGE's measured
+    # cost is fold/DV compute, not per-stage fixed latency; correctness
+    # scales keep the lighter 1:2 ratio
+    n_ops = n if scale > 1 else n // 2
     root = os.path.join(base_dir, "table")
     cdc = os.path.join(base_dir, "cdc.parquet")
     base_dump = os.path.join(base_dir, "images_base.parquet")
@@ -661,6 +664,31 @@ def ann_topk(sf_dir: str):
                            batch_format="pandas")
 
 
+def ann_ivf_indexed(sf_dir: str):
+    """Search a MATERIALIZED IVF index (corpus partitioned on disk by
+    list id, nprobe partitions read per query set) — the physical form
+    of the ivf_topk layout story. Built once per scale and cached;
+    results are identical to in-flight ivf_topk with the same centroids
+    (pytest parity), so the rows-only driver check plus that proof
+    covers it."""
+    import os
+
+    from .stages.ann import build_ivf_index, ivf_search_indexed
+    qref = _query_vectors(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["embedding"])
+    sample = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)[:2048])
+    centroids = train_centroids(sample, n_centroids=16)
+    index_dir = os.path.join(DATA_ROOT, _sf_name(sf_dir), "ivf_index")
+    if not os.path.exists(os.path.join(index_dir, "ivf_manifest.json")):
+        import ray.data as rd
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, centroids=centroids)
+    out = ivf_search_indexed(index_dir, qref, nprobe=4, k=10)
+    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
+                           batch_format="pandas")
+
+
 def ann_lsh(sf_dir: str):
     qref = _query_vectors(sf_dir)
     planes = make_hyperplanes(64, n_bits=6)
@@ -724,6 +752,7 @@ def queries():
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_indexed": ann_ivf_indexed,
     }
 
 

@@ -171,3 +171,81 @@ def lsh_topk(ds, queries_ref, *, planes: np.ndarray, k: int = 10,
     pruned = bucketed.map_batches(only_wanted, batch_format="pyarrow")
     return brute_force_topk(pruned, queries_ref, k=k, id_col=id_col,
                             emb_col=emb_col)
+
+
+# ------------------------------------------------- materialized IVF index
+
+def build_ivf_index(ds, index_dir: str, *, centroids: np.ndarray,
+                    emb_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Materialize the corpus partitioned by IVF list id (the stored
+    layout the module docstring promises): one parquet directory per
+    centroid list via a partitioned Dataset write, plus a tiny JSON
+    manifest (centroids + per-list counts).
+
+    At 10^12 rows this is the index BUILD job: a single assign pass and
+    a partitioned write — no shuffle beyond the write's file routing;
+    queries then read only their ``nprobe`` list directories
+    (zone-map-style pruning made physical). Returns the manifest dict.
+    """
+    import json
+    import os
+
+    C = _norm_rows(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        M = np.vstack(batch[emb_col].to_numpy(zero_copy_only=False))
+        cid = np.argmax(_norm_rows(M.astype(np.float64)) @ C.T, axis=1)
+        return batch.append_column("ivf_list", pa.array(cid, pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned.write_parquet(index_dir, partition_cols=["ivf_list"])
+
+    counts: dict[int, int] = {}
+    for name in sorted(os.listdir(index_dir)):
+        if name.startswith("ivf_list="):
+            lid = int(name.split("=", 1)[1])
+            import pyarrow.parquet as _pq
+            n = sum(_pq.read_metadata(os.path.join(index_dir, name, f)).num_rows
+                    for f in os.listdir(os.path.join(index_dir, name))
+                    if f.endswith(".parquet"))
+            counts[lid] = n
+    manifest = {"n_lists": int(len(C)), "dim": int(C.shape[1]),
+                "counts": {str(k): v for k, v in counts.items()},
+                "centroids": [[float(x) for x in row] for row in C]}
+    tmp = os.path.join(index_dir, "ivf_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "ivf_manifest.json"))
+    return manifest
+
+
+def ivf_search_indexed(index_dir: str, queries_ref, *, nprobe: int = 2,
+                       k: int = 10, id_col: str = "vec_id",
+                       emb_col: str = "embedding"):
+    """Search a materialized IVF index: read ONLY the nprobe nearest
+    list partitions per query set, then the standard local-top-k /
+    reduce. Identical results to in-flight ``ivf_topk`` with the same
+    centroids and nprobe (pytest holds the parity proof)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "ivf_manifest.json")) as f:
+        manifest = json.load(f)
+    C = np.asarray(manifest["centroids"], dtype=np.float64)
+    q = ray.get(queries_ref)
+    Q = _norm_rows(np.asarray(q["mat"], dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    wanted = sorted(int(c) for c in np.unique(probe))
+    dirs = [os.path.join(index_dir, f"ivf_list={c}") for c in wanted]
+    dirs = [d for d in dirs if os.path.isdir(d)]  # empty lists never wrote
+    # read_parquet accepts one directory or a list of FILES — expand
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return rd.from_items([])
+    pruned = rd.read_parquet(files, columns=[id_col, emb_col])
+    return brute_force_topk(pruned, queries_ref, k=k, id_col=id_col,
+                            emb_col=emb_col)

@@ -1,4 +1,5 @@
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from moonlink_ray.stages.ann import (brute_force_topk, lsh_topk,
@@ -81,3 +82,35 @@ class TestAnn:
         M = _data()
         assert np.array_equal(train_centroids(M, 8, seed=11),
                               train_centroids(M, 8, seed=11))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_indexed_matches_inflight(tmp_path):
+    """Searching the materialized IVF layout returns exactly the same
+    top-k as the in-flight ivf_topk with the same centroids/nprobe."""
+    import ray
+    import ray.data as rd
+
+    from moonlink_ray.stages.ann import (build_ivf_index, ivf_search_indexed,
+                                         ivf_topk, train_centroids)
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    M = rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    qref = ray.put({"ids": np.arange(3), "mat": M[:3]})
+    cent = train_centroids(M[:256], n_centroids=8)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, centroids=cent)
+    got = ivf_search_indexed(idx, qref, nprobe=3, k=5).to_pandas()
+    want = ivf_topk(rd.from_arrow(t), qref, centroids=cent,
+                    nprobe=3, k=5).to_pandas()
+    g = got.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    w = want.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert g[["query_id", "vec_id"]].equals(w[["query_id", "vec_id"]])
+    # manifest covers every row
+    import json, os
+    man = json.load(open(os.path.join(idx, "ivf_manifest.json")))
+    assert sum(man["counts"].values()) == n
