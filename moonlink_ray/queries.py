@@ -198,6 +198,62 @@ def maint_cluster_hilbert(sf_dir: str):
     return _scan_digested(root)
 
 
+def maint_load_files(sf_dir: str):
+    """Bulk load (moonlink LoadFiles analog): adopt the base-dump
+    parquet into a FRESH empty table without rewriting it, then scan —
+    digest-for-digest equal to the dump itself."""
+    import os
+
+    from .bootstrap import register_parquet_files
+    from .manifest import init_table
+    fix = ensure_images_fixture(sf_dir)
+    root = fix["root"] + "-loadfiles"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    init_table(root)
+    register_parquet_files(root, [fix["base_dump"]])
+    return _scan_digested(root)
+
+
+def maint_schema_alter(sf_dir: str):
+    """ALTER TABLE ADD COLUMN as a metadata-only commit: pre-existing
+    fragments are untouched and the scan null-fills the new column
+    (projection-on-read). Oracle: the base dump with a NULL column."""
+    from .schema import alter_table
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "alter")
+    alter_table(root, add=[("quality_score", "float64")])
+    return _scan_digested(root)
+
+
+def maint_json_append(sf_dir: str):
+    """JSON row ingest (REST analog): the CDC batch's first-wave insert
+    rows round-trip through JSONL (base64 payloads) and append to a
+    fresh copy of the table; oracle = base UNION ALL those CDC rows."""
+    import base64
+    import json as _json
+    import os
+
+    from .sources.json_ingest import append_json
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "jsonappend")
+    cdc = pq.read_table(fix["cdc"])
+    lsn_cut = int(pc.min(cdc["_lsn"]).as_py()) + 50
+    sel = cdc.filter(pc.and_(pc.equal(cdc["_op"], "insert"),
+                             pc.less(cdc["_lsn"], pa.scalar(lsn_cut, pa.int64()))))
+    jsonl = os.path.join(DATA_ROOT, _sf_name(sf_dir), "append.jsonl")
+    with open(jsonl + ".tmp", "w") as f:
+        for row in sel.to_pylist():
+            row = {k: v for k, v in row.items()
+                   if k in ("image_id", "bytes", "w", "h", "fmt",
+                            "caption", "phash")}
+            row["bytes"] = base64.b64encode(row["bytes"]).decode()
+            f.write(_json.dumps(row) + "\n")
+    os.replace(jsonl + ".tmp", jsonl)
+    append_json(root, jsonl)
+    return _scan_digested(root)
+
+
 def maint_expire(sf_dir: str):
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "expire")
@@ -645,6 +701,16 @@ def dedup_embedding(sf_dir: str):
                      "b": pa.array(df["b"], pa.int64())})
 
 
+def dedup_embedding_lsh(sf_dir: str):
+    """Label-free embedding near-dup pairs: LSH-bucket blocking instead
+    of the label column. Approximate by design (single-probe bucket
+    recall), so rows-only here; pytest holds the recall/precision proof
+    against brute force."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dedup.embedding_dup_pairs_lsh(ds, threshold=0.4, n_bits=4)
+    return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
+
+
 # ------------------------------------------------------------------- ANN
 
 def _query_vectors(sf_dir: str):
@@ -721,6 +787,9 @@ def queries():
         "maint_cluster": maint_cluster,
         "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
+        "maint_load_files": maint_load_files,
+        "maint_schema_alter": maint_schema_alter,
+        "maint_json_append": maint_json_append,
         "maint_scan_prune": maint_scan_prune,
         "img_decode_stats": img_decode_stats,
         "img_phash_check": img_phash_check,
@@ -744,6 +813,7 @@ def queries():
         "dedup_ngram": dedup_ngram,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "text_stats": text_stats,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -795,6 +865,21 @@ def oracle_sql():
         "maint_cluster_hilbert": f"SELECT {_DIGEST_COLS} "
                                  f"FROM read_parquet({_MAINT_BASE})",
         "maint_expire": _MERGED_SQL,
+        "maint_load_files": f"SELECT {_DIGEST_COLS} "
+                            f"FROM read_parquet({_MAINT_BASE})",
+        "maint_schema_alter": f"SELECT {_DIGEST_COLS}, "
+                              f"CAST(NULL AS DOUBLE) AS quality_score "
+                              f"FROM read_parquet({_MAINT_BASE})",
+        "maint_json_append": f"""
+            WITH cdc AS (SELECT * FROM read_parquet({_MAINT_CDC})),
+            cut AS (SELECT MIN(_lsn) + 50 AS c FROM cdc),
+            sel AS (SELECT image_id, bytes, w, h, fmt, caption, phash
+                    FROM cdc, cut WHERE _op = 'insert' AND _lsn < cut.c),
+            allrows AS (
+              SELECT image_id, bytes, w, h, fmt, caption, phash
+              FROM read_parquet({_MAINT_BASE})
+              UNION ALL SELECT * FROM sel)
+            SELECT {_DIGEST_COLS} FROM allrows""",
         "maint_scan_prune": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE}) "
                             f"WHERE phash BETWEEN 0 AND {2 ** 61}",

@@ -500,3 +500,54 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
                              "cosine": S[iu][keep]})
 
     return ds.groupby(block_col).map_groups(block, batch_format="pandas")
+
+
+def embedding_dup_pairs_lsh(ds, *, id_col="vec_id", emb_col="embedding",
+                            threshold=0.95, n_bits=8, seed=3,
+                            max_block=20_000):
+    """Embedding near-dup pairs WITHOUT a label column: block by an
+    LSH bucket (random-hyperplane signs) instead.
+
+    The labeled variant (embedding_dup_pairs) assumes a trustworthy
+    coarse key; real corpora rarely have one, and a hot label
+    degenerates to O(n^2) in one block. Hyperplane buckets are
+    uniform-ish by construction (2^n_bits cells), and ``max_block``
+    caps any residual hot cell (skew guard, same spirit as ngram's
+    max_df). Recall: a pair at cosine >= t collides in a bucket with
+    probability (1 - acos(t)/pi)^n_bits — at t=0.95, n_bits=8 that is
+    ~0.78 single-probe; raise recall by unioning several plane seeds
+    (independent probes), which multiplies only the cheap signature
+    pass, never the O(n^2) term.
+
+    Returns Dataset(a, b, cosine) with a < b.
+    """
+    from .ann import make_hyperplanes
+
+    def block(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2 or len(group) > max_block:
+            empty = group[id_col].iloc[:0]
+            return pd.DataFrame({"a": empty, "b": empty.copy(),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        group = group.sort_values(id_col)
+        ids = group[id_col].to_numpy()
+        M = np.vstack(group[emb_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = S[iu] >= threshold
+        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]],
+                             "cosine": S[iu][keep]})
+
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.vstack(batch[emb_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        # planes are deterministic (seed + dim) and tiny — rebuilt per
+        # batch rather than broadcast (n_bits x dim floats)
+        P = make_hyperplanes(M.shape[1], n_bits=n_bits, seed=seed)             .astype(np.float64)
+        signs = (M @ P.T) > 0
+        return batch.assign(_lb=(signs.astype(np.int64) * weights).sum(axis=1))
+
+    return ds.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_lb").map_groups(block, batch_format="pandas")

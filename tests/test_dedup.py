@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from moonlink_ray.stages import dedup
@@ -121,3 +122,36 @@ class TestDedup:
         pairs = dedup.ngram_jaccard_pairs(
             _ds(), threshold_permille=0, max_df=1).to_pandas()
         assert len(pairs) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_blocking_precision_and_recall():
+    """Label-free LSH blocking: every emitted pair really is >= t
+    cosine (exact precision), and recall vs brute force is above the
+    single-probe analytic floor for planted near-duplicates."""
+    import ray.data as rd
+
+    from moonlink_ray.stages.dedup import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 32
+    M = rng.standard_normal((n, d))
+    # plant 30 near-duplicate pairs (tiny perturbations)
+    for i in range(30):
+        M[n - 1 - i] = M[i] + 0.01 * rng.standard_normal(d)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu = np.triu_indices(n, k=1)
+    truth = {(int(a), int(b)) for a, b in zip(iu[0][S[iu] >= 0.95],
+                                              iu[1][S[iu] >= 0.95])}
+    assert len(truth) >= 30
+
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+    got = embedding_dup_pairs_lsh(rd.from_arrow(t), threshold=0.95,
+                                  n_bits=6).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+    assert got_pairs <= truth  # exact verify -> no false positives
+    # single-probe recall floor: (1 - acos(.95)/pi)^6 ~= 0.52; planted
+    # pairs are much closer than 0.95 so observed recall is far higher
+    assert len(got_pairs) >= len(truth) * 0.5
