@@ -195,15 +195,42 @@ def combine_legs(legs: list[dict]) -> dict:
     return out
 
 
+def ensure_fixture_only():
+    import ray
+
+    ray.init(address="local", num_cpus=None, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from moonlink_ray.queries import ensure_images_fixture
+    ensure_images_fixture(SF_DIR)
+    ray.shutdown()
+
+
 def main():
+    if os.environ.get("GRAFT_FIXTURE_ONLY"):
+        ensure_fixture_only()
+        print(json.dumps({"fixture": SF_DIR}))
+        return
     if "--scaling" in sys.argv:
+        # synthesize the fixture ONCE at full width before any pinned
+        # leg runs (a first child would otherwise pay synthesis at 8
+        # CPUs, skewing nothing timed but wasting most of the budget)
+        env = dict(os.environ, GRAFT_FIXTURE_ONLY="1", GRAFT_SF_DIR=SF_DIR)
+        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                       capture_output=True, check=True)
         lo_n, hi_n = 8, 32
-        # interleave the parallelism levels (lo, hi, lo, hi): ambient VM
-        # noise persists for minutes, so adjacent same-level children
-        # would sample the same weather — interleaving decorrelates it
+        # interleave the parallelism levels (lo, hi, lo, hi, ...): the
+        # VM's ambient noise persists for minutes and swings far more
+        # than round 1's +/-40% (single stages measured 3-10x apart
+        # within the hour), so adjacent same-level children would sample
+        # the same weather. Three children per leg (each itself
+        # best-of-2 reps) gives the per-stage min 6 samples to converge.
+        n_children = int(os.environ.get("GRAFT_SCALING_CHILDREN", "3"))
         samples = {lo_n: [], hi_n: []}
-        for n in (lo_n, hi_n, lo_n, hi_n):
-            samples[n].append(run_child(n))
+        for _ in range(n_children):
+            for n in (lo_n, hi_n):
+                samples[n].append(run_child(n))
         lo = combine_legs(samples[lo_n])
         hi = combine_legs(samples[hi_n])
         tp_lo = lo["images_per_sec"]
