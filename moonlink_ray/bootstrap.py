@@ -42,13 +42,18 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
                    "rows_per_fragment": rows_per_fragment, "scale": scale,
                    "synthv": synth.SYNTH_VERSION}
     from .fs import for_root
-    if not force and for_root(root).exists("version-hint.text"):
-        try:
-            snap = load(root, 1)
-            if snap.job == fingerprint:
-                return  # cached
-        except Exception:
-            pass
+    if for_root(root).exists("version-hint.text"):
+        if not force:
+            try:
+                snap = load(root, 1)
+                if snap.job == fingerprint:
+                    return  # cached
+            except Exception:
+                pass
+        # stale cache (different fingerprint): wipe before re-init, or
+        # the rebuild's v1 commit conflicts with the old table's v1
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
     init_table(root)
     parts = []
     start = 0

@@ -432,9 +432,10 @@ def cluster(root: str, *, run_id: str | None = None,
         exchange = params.get("exchange", exchange)
     else:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        # floor of 64 buckets: bucket count well above CPU count keeps
-        # the long tail short (wall ~ sum/width, not max single bucket)
-        NB = num_buckets or max(64, 2 * n_cpus)
+        # floor of 128 / 4x-CPU buckets: bucket count well above CPU
+        # width keeps the long tail short (wall ~ sum/width, not the
+        # last wave's slowest bucket)
+        NB = num_buckets or max(128, 4 * n_cpus)
         samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap,
                                                                   curve)
         boundaries, hot = _plan_buckets(samples, weights, hot_counts, total,

@@ -267,7 +267,10 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                 f"got {num_buckets}")
     else:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        B = num_buckets or int(np.clip(max(n_ops // 2000, n_cpus), 1, 4096))
+        # 4x CPU width floor: with B ~= CPUs one wave of buckets makes
+        # the wall clock the slowest bucket (skew-bound); 4x keeps the
+        # tail short while fold state per bucket stays bounded
+        B = num_buckets or int(np.clip(max(n_ops // 500, 4 * n_cpus), 1, 4096))
         write_lineage(root, run_id, "params",
                       {"kind": "merge-params", "num_buckets": B})
 

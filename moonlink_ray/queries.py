@@ -103,7 +103,12 @@ def ensure_images_fixture(sf_dir: str) -> dict:
     cdc = os.path.join(base_dir, "cdc.parquet")
     base_dump = os.path.join(base_dir, "images_base.parquet")
     os.makedirs(base_dir, exist_ok=True)
-    bootstrap_images_table(root, n, rows_per_fragment=256, scale=scale)
+    # bench scale uses SMALL fragments (64 rows ~= 20 MB of scale-3
+    # images): compaction's real input is many small files, and fine
+    # victims keep the task count well above CPU width so the wall
+    # clock is sum/width, not the last wave's slowest group
+    rpf = 64 if scale > 1 else 256
+    bootstrap_images_table(root, n, rows_per_fragment=rpf, scale=scale)
     write_cdc_parquet(cdc, n_base=n, n_ops=n_ops)
     marker = base_dump + ".fp.json"
     fp = {"n": n, "scale": scale, "synthv": synth.SYNTH_VERSION}

@@ -65,21 +65,24 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Language-ID heuristic: han-script ratio -> zh; else the language
-    whose stopword list hits the most tokens; ties/zero -> 'en'."""
-    s = batch[text_col].to_pandas().fillna("")
-    preds = []
-    for text in s:
-        if sum("一" <= c <= "鿿" for c in text[:200]) > 5:
-            preds.append("zh")
-            continue
-        toks = WORD_RE.findall(text.lower())
-        best, best_n = "en", 0
-        for lang, stops in STOPWORDS.items():
-            n = sum(t in stops for t in toks)
-            if n > best_n:
-                best, best_n = lang, n
-        preds.append(best)
-    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+    whose stopword list hits the most tokens; ties/zero -> 'en'.
+
+    Vectorized: one regex count for the han check, then stopword hits
+    per language via explode + isin + groupby (hashed set lookups over
+    the whole batch at once, no per-row Python loop)."""
+    s = batch[text_col].to_pandas().fillna("").reset_index(drop=True)
+    han = s.str.slice(0, 200).str.count(r"[一-鿿]") > 5
+    toks = s.str.lower().str.findall(WORD_RE).explode()
+    toks = toks.dropna()
+    counts = pd.DataFrame(index=s.index)
+    for lang in ("en", "es", "de", "fr"):  # dict order of STOPWORDS
+        hits = toks[toks.isin(STOPWORDS[lang])].groupby(level=0).size()
+        counts[lang] = hits.reindex(s.index, fill_value=0)
+    # idxmax picks the FIRST max column -> 'en' wins ties / all-zero,
+    # matching the strict-> scan order of the per-row version
+    preds = counts.idxmax(axis=1)
+    preds[han] = "zh"
+    return batch.append_column("lang_pred", pa.array(preds.tolist(), pa.string()))
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -95,16 +98,31 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
     """Document fingerprint via min-of-rolling-hash (Rabin-style) over
     byte windows — robust to small edits (unlike md5). Not SQL-
     expressible; tested against a pure-python oracle in pytest."""
-    out = []
     B, M = 257, (1 << 31) - 1
     powers = np.array([pow(B, window - 1 - j, M) for j in range(window)],
                       dtype=np.int64)
-    for t in batch[text_col].to_pylist():
-        if t is None or len(t) < window:
-            out.append(0)
-            continue
-        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-        wins = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.int64)
+    texts = batch[text_col].to_pylist()
+    encoded = [(t or "").encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    # one flat byte array for the whole batch: hash EVERY window once,
+    # then per-doc minima via minimum.reduceat over each doc's valid
+    # window range (windows crossing doc boundaries are never selected)
+    ok = lens >= window
+    if ok.any():
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        wins = np.lib.stride_tricks.sliding_window_view(flat, window).astype(np.int64)
         hashes = (wins * powers).sum(axis=1) % M  # fits: 255*2^31*16 < 2^43
-        out.append(int(hashes.min()))
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # doc i's valid windows are hashes[start_i : start_i + valid_i]
+        # (anything later crosses into the next doc); reduceat over
+        # (start, end) index pairs gives each doc's min at the even slots
+        valid = lens[ok] - window + 1
+        seg_starts = starts[ok]
+        seg = np.empty(2 * len(seg_starts), dtype=np.int64)
+        seg[0::2] = seg_starts
+        seg[1::2] = seg_starts + valid
+        if seg[-1] >= len(hashes):  # last doc's end == array end
+            seg = seg[:-1]
+        out[ok] = np.minimum.reduceat(hashes, seg)[0::2]
     return batch.append_column("rolling_fp", pa.array(out, pa.int64()))
