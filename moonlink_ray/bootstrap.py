@@ -46,7 +46,8 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
         if not force:
             try:
                 snap = load(root, 1)
-                if snap.job == fingerprint:
+                # subset compare: commit() appends a "metrics" key
+                if {k: snap.job.get(k) for k in fingerprint} == fingerprint:
                     return  # cached
             except Exception:
                 pass

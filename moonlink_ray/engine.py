@@ -66,6 +66,7 @@ def main(argv=None):
                    help="columns to add, e.g. tag:string score:float64")
     s.add_argument("--drop", nargs="*", default=[], metavar="NAME")
     add("status")
+    add("metrics")
     args = p.parse_args(argv)
 
     import ray
@@ -131,6 +132,9 @@ def main(argv=None):
         out = {"version": snap.version, "max_lsn": snap.max_lsn,
                "fragments": len(snap.fragments), "rows": snap.total_rows,
                "bytes": sum(f.size_bytes for f in snap.fragments)}
+    elif args.cmd == "metrics":
+        from .metrics import history
+        out = {"history": history(args.root)}
     print(json.dumps(out))
     ray.shutdown()
 

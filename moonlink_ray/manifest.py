@@ -146,11 +146,19 @@ def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
     cur = current_version(root)
     if expected_parent is not None and cur != expected_parent:
         raise CommitConflict(f"expected parent v{expected_parent}, found v{cur}")
+    parent_snap = load(root, cur)
     if schema is _INHERIT:
-        schema = load(root, cur).schema
+        schema = parent_snap.schema
     new_version = cur + 1
     snap = Snapshot(version=new_version, parent=cur, max_lsn=max_lsn,
                     fragments=fragments, job=job, schema=schema)
+    # run-level metrics: manifest-only delta vs the parent, merged with
+    # any stage-specific counters the pipeline passed in job["metrics"]
+    from .metrics import snapshot_delta
+    job = dict(job)
+    job["metrics"] = {**snapshot_delta(parent_snap, snap),
+                      **job.get("metrics", {})}
+    snap.job = job
     snap_rel = f"snapshots/v{new_version}.json"
     if fs.exists(snap_rel):
         raise CommitConflict(f"snapshot v{new_version} already exists")

@@ -61,6 +61,7 @@ tasks are ignored), and each finished bucket checkpoints its fragments.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from collections import Counter
 from dataclasses import asdict
@@ -242,6 +243,7 @@ class _WriteBucket:
         self.__name__ = "ClusterBucketWriter"
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        tp = time.perf_counter()
         zb = int(t["_zb"][0].as_py())
         t = t.take(pc.sort_indices(
             t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
@@ -256,6 +258,7 @@ class _WriteBucket:
         write_lineage(self.root, self.run_id, f"zb-{zb:05d}", {
             "kind": "cluster-bucket", "bucket": zb,
             "fragments": [asdict(m) for m in metas],
+            "wall_sec": round(time.perf_counter() - tp, 3),
         })
         return pa.table({"meta": pa.array(
             [json.dumps(asdict(m)) for m in metas], pa.string())})
@@ -356,6 +359,7 @@ class _BucketSort:
         spill = _spill_dir(self.run_id)
         metas = []
         for zb in batch["zb"].to_pylist():
+            tp = time.perf_counter()
             files = self.files.get(int(zb), [])
             if not files:
                 continue
@@ -378,6 +382,7 @@ class _BucketSort:
             write_lineage(self.root, self.run_id, f"zb-{int(zb):05d}", {
                 "kind": "cluster-bucket", "bucket": int(zb),
                 "fragments": [asdict(m) for m in gmetas],
+                "wall_sec": round(time.perf_counter() - tp, 3),
             })
             metas.extend(gmetas)
         return pa.table({"meta": pa.array(
@@ -414,6 +419,7 @@ def cluster(root: str, *, run_id: str | None = None,
     import ray.data as rd
 
     run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.perf_counter()
     snap = load(root)
     if not snap.fragments:
         return None
@@ -515,7 +521,8 @@ def cluster(root: str, *, run_id: str | None = None,
     out = commit(root, new_metas, max_lsn=snap.max_lsn,
                  job={"kind": "cluster", "run_id": run_id, "curve": curve,
                       "exchange": exchange,
-                      "hot_zkeys": len(hot), "num_buckets": NB},
+                      "hot_zkeys": len(hot), "num_buckets": NB,
+                      "metrics": {"wall_sec": round(time.perf_counter() - t0, 3)}},
                  expected_parent=snap.version)
     for_root(root).delete_dir(f"tmp/cluster-{run_id}")
     return out

@@ -38,6 +38,7 @@ commit (mirrors ``compactor.rs:282-285``).
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from dataclasses import asdict, dataclass
 
@@ -164,6 +165,7 @@ class CompactGroupTask:
         from ..schema import conform_table
         metas = []
         for gid in batch["group"].to_pylist():
+            tp = time.perf_counter()
             info = self.plan[gid]
             frags = [FragmentMeta.from_dict(d) for d in info["frags"]]
             # conform BEFORE concat: victims written under different
@@ -182,6 +184,7 @@ class CompactGroupTask:
             write_lineage(self.root, self.run_id, f"group-{gid:05d}", {
                 "kind": "compact-group", "group": gid,
                 "fragments": [asdict(m) for m in gmetas],
+                "wall_sec": round(time.perf_counter() - tp, 3),
             })
             metas.extend(gmetas)
         return pa.table({"meta": pa.array([json.dumps(asdict(m)) for m in metas],
@@ -196,6 +199,7 @@ def compact(root: str, *, mode: str = "best_effort",
 
     cfg = cfg or CompactionConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.perf_counter()
     snap = load(root)
     victims = select_victims(snap, cfg, mode)
     if not victims:
@@ -256,5 +260,8 @@ def compact(root: str, *, mode: str = "best_effort",
     final.sort(key=lambda m: m.fragment_id)
     return commit(root, final, max_lsn=snap.max_lsn,
                   job={"kind": "compact", "run_id": run_id, "mode": mode,
-                       "victims": sorted(victim_ids), "groups": len(groups)},
+                       "victims": sorted(victim_ids), "groups": len(groups),
+                       "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
+                                   "victims": len(victims),
+                                   "groups": len(groups)}},
                   expected_parent=snap.version)

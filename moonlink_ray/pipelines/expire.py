@@ -66,6 +66,8 @@ def _delete_files(root: str, rel_paths: list[str]) -> int:
 
 def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict:
     """Expire old snapshots; returns a report dict."""
+    import time
+    t0 = time.perf_counter()
     versions = list_versions(root)
     retained = versions[-max(1, keep_last):]
     expired = [v for v in versions if v not in retained]
@@ -103,4 +105,7 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
             removed_lineage.append(rid)
 
     return {"retained_versions": retained, "expired_versions": expired,
-            "deleted_files": deleted, "removed_lineage_runs": removed_lineage}
+            "deleted_files": deleted, "removed_lineage_runs": removed_lineage,
+            "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
+                        "deleted_files": deleted,
+                        "expired_versions": len(expired)}}

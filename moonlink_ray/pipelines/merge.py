@@ -55,6 +55,7 @@ positions of its key; FullRow duplicate identity (``moonlink_row.rs:
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from dataclasses import asdict
 
@@ -140,6 +141,7 @@ class _BucketMerge:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from ..schema import conform_table
+        tp = time.perf_counter()
         bucket = int(group["_bucket"][0].as_py())
         part_key = f"bucket-{bucket:05d}"
         survivors, max_lsn = _fold_bucket(group)
@@ -159,6 +161,7 @@ class _BucketMerge:
         write_lineage(self.root, self.run_id, part_key, {
             "kind": "merge-bucket", "bucket": bucket, "max_lsn": max_lsn,
             "fragments": [asdict(m) for m in metas],
+            "wall_sec": round(time.perf_counter() - tp, 3),
         })
         return pa.table({"meta": pa.array([json.dumps(asdict(m)) for m in metas],
                                           pa.string())})
@@ -184,6 +187,7 @@ class _DVUpdate:
         keys = self._tombstones()
         out = []
         for row in batch.to_pylist():
+            tp = time.perf_counter()
             meta = FragmentMeta.from_dict(json.loads(row["meta"]))
             t = read_fragment(self.root, meta, columns=["image_id"],
                               with_pos=True, apply_dv=False)
@@ -199,6 +203,7 @@ class _DVUpdate:
             write_lineage(self.root, self.run_id, f"dv-{meta.fragment_id}", {
                 "kind": "merge-dv", "fragment_id": meta.fragment_id,
                 "meta": asdict(new_meta),
+                "wall_sec": round(time.perf_counter() - tp, 3),
             })
             out.append(json.dumps(asdict(new_meta)))
         return pa.table({"meta": pa.array(out, pa.string())})
@@ -231,6 +236,7 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
     if isinstance(cdc_paths, str):
         cdc_paths = [cdc_paths]
     run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.perf_counter()
     snap = load(root)
     floor_lsn = snap.max_lsn
 
@@ -345,5 +351,9 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
     final.sort(key=lambda m: m.fragment_id)
     return commit(root, final, max_lsn=max(cdc_max_lsn, floor_lsn),
                   job={"kind": "merge", "run_id": run_id,
-                       "cdc_paths": sorted(cdc_paths), "num_buckets": B},
+                       "cdc_paths": sorted(cdc_paths), "num_buckets": B,
+                       "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
+                                   "cdc_ops": n_ops,
+                                   "tombstones": len(tombstones),
+                                   "dv_fragments": len(dv_metas)}},
                   expected_parent=snap.version)
