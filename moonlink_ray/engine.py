@@ -54,7 +54,7 @@ def main(argv=None):
     s = add("cluster")
     s.add_argument("--run-id", default=None)
     s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
-    s.add_argument("--exchange", default="plasma", choices=["plasma", "spill"])
+    s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
     s = add("expire")
     s.add_argument("--keep-last", type=int, default=2)
     s.add_argument("--keep-orphans", action="store_true")

@@ -393,21 +393,25 @@ def cluster(root: str, *, run_id: str | None = None,
             hot_threshold: float = 0.001,
             num_buckets: int | None = None,
             curve: str = "zorder",
-            exchange: str = "plasma",
+            exchange: str = "spill",
             fragment_target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
     """Full-table Z-order/Hilbert rewrite; returns the new snapshot.
 
     ``exchange`` picks the wide path:
-    - ``"plasma"`` (default): derive -> ``groupby(_zb).map_groups`` —
-      the Ray-native in-memory exchange; right on a single node or when
-      the cluster's object store comfortably holds the shard.
-    - ``"spill"``: derive tasks write bucket-aligned row groups to the
-      table's own filesystem, bucket tasks read exactly their recorded
-      row groups — an external shuffle (Spark/Cosco-style) that rides
-      the object store on multi-node deployments, keeps plasma out of
-      the wide path, and makes the exchange itself resumable (the
-      recorded spill survives a kill; plasma resume redoes the exchange
-      but still skips finished buckets).
+    - ``"spill"`` (default): derive tasks write bucket-aligned row
+      groups to the table's own filesystem, bucket tasks read exactly
+      their recorded row groups — an external shuffle (Spark/Cosco-
+      style) that rides the object store on multi-node deployments,
+      keeps plasma out of the wide path, and makes the exchange itself
+      resumable (the recorded spill survives a kill). Measured strictly
+      faster than plasma on this workload at every width tried (each
+      image byte is written once and read once; the groupby path hops
+      it through the object store several times).
+    - ``"plasma"``: derive -> ``groupby(_zb).map_groups`` — the
+      Ray-native in-memory exchange; kept for clusters whose object
+      store comfortably holds the shard and whose shared filesystem is
+      slow. Resume redoes the exchange but still skips finished
+      buckets.
 
     Both paths share the pinned plan, the per-bucket lineage
     checkpoints, and the salted range-bucket math. At 100 TB scale this
@@ -440,8 +444,12 @@ def cluster(root: str, *, run_id: str | None = None,
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # floor of 128 / 4x-CPU buckets: bucket count well above CPU
         # width keeps the long tail short (wall ~ sum/width, not the
-        # last wave's slowest bucket)
-        NB = num_buckets or max(128, 4 * n_cpus)
+        # last wave's slowest bucket). Capped by table size (>= ~8 MiB
+        # per bucket) so clustering a small table doesn't shatter it
+        # into hundreds of tiny fragments.
+        total_bytes = sum(f.size_bytes for f in snap.fragments)
+        cap = max(1, total_bytes // (8 * 1024 * 1024))
+        NB = num_buckets or min(max(128, 4 * n_cpus), cap)
         samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap,
                                                                   curve)
         boundaries, hot = _plan_buckets(samples, weights, hot_counts, total,
