@@ -446,9 +446,12 @@ def cluster(root: str, *, run_id: str | None = None,
         # width keeps the long tail short (wall ~ sum/width, not the
         # last wave's slowest bucket). Capped by table size (>= ~8 MiB
         # per bucket) so clustering a small table doesn't shatter it
-        # into hundreds of tiny fragments.
+        # into hundreds of tiny fragments — but never below 8 buckets:
+        # fewer than ~3 zkey bits of range resolution makes the phash
+        # zone maps span the whole domain, defeating the pruning the
+        # rewrite exists to provide.
         total_bytes = sum(f.size_bytes for f in snap.fragments)
-        cap = max(1, total_bytes // (8 * 1024 * 1024))
+        cap = max(8, total_bytes // (8 * 1024 * 1024))
         NB = num_buckets or min(max(128, 4 * n_cpus), cap)
         samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap,
                                                                   curve)
