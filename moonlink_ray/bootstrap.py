@@ -213,7 +213,8 @@ def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
                 return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     table = synth.build_cdc(n_base, n_ops, seed=seed, start_lsn=start_lsn)
-    pq.write_table(table, path, row_group_size=4096)
+    pq.write_table(table, path + ".tmp", row_group_size=4096)
+    os.replace(path + ".tmp", path)
     with open(marker, "w") as f:
         json.dump(fingerprint, f)
     return path

@@ -430,6 +430,12 @@ def cluster(root: str, *, run_id: str | None = None,
 
     done = read_lineage(root, run_id)
 
+    # per-phase wall seconds, surfaced in the commit's job metrics (the
+    # observable a cluster operator watches to see WHICH phase stopped
+    # scaling: plan/stats, the wide exchange, or the bucket sorts)
+    phase_sec: dict[str, float] = {}
+    tp = time.perf_counter()
+
     # -- plan: pinned on first invocation (resume must reuse it; a
     # recomputed plan from a different sample or cluster width would
     # re-partition rows across buckets against the done checkpoints)
@@ -462,6 +468,7 @@ def cluster(root: str, *, run_id: str | None = None,
             "exchange": exchange,
             "boundaries": [int(b) for b in boundaries],
             "hot": {str(k): v for k, v in hot.items()}})
+    phase_sec["plan"] = round(time.perf_counter() - tp, 3)
 
     from ..schema import table_schema
     out_schema = table_schema(snap)
@@ -475,6 +482,7 @@ def cluster(root: str, *, run_id: str | None = None,
                              for d in rec["fragments"])
 
     if exchange == "plasma":
+        tp = time.perf_counter()
         ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
         # batch_size=None: fuse-safe (see scan() docstring)
         ds = ds.map_batches(_Derive(boundaries, hot, NB, curve, done_buckets),
@@ -485,9 +493,11 @@ def cluster(root: str, *, run_id: str | None = None,
             batch_format="pyarrow").take_all()
         new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                          for r in rows)
+        phase_sec["exchange"] = round(time.perf_counter() - tp, 3)
     elif exchange == "spill":
         # -- pass 2a: spill (skipped wholesale on resume once recorded)
         spill_rec = done.get("spill")
+        tp = time.perf_counter()
         if spill_rec:
             files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
         else:
@@ -508,7 +518,10 @@ def cluster(root: str, *, run_id: str | None = None,
                 "kind": "cluster-spill",
                 "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
 
+        phase_sec["spill"] = round(time.perf_counter() - tp, 3)
+
         # -- pass 2b: per-bucket sort + fragment writes (bucket resume)
+        tp = time.perf_counter()
         todo = sorted(b for b in files_by_bucket if b not in done_buckets)
         if todo:
             files_ref = ray.put(files_by_bucket)  # broadcast once
@@ -521,6 +534,7 @@ def cluster(root: str, *, run_id: str | None = None,
                 batch_size=1, batch_format="pyarrow").take_all()
             new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                              for r in rows)
+        phase_sec["bucket_sort"] = round(time.perf_counter() - tp, 3)
     else:
         raise ValueError(f"unknown exchange {exchange!r}")
 
@@ -533,7 +547,9 @@ def cluster(root: str, *, run_id: str | None = None,
                  job={"kind": "cluster", "run_id": run_id, "curve": curve,
                       "exchange": exchange,
                       "hot_zkeys": len(hot), "num_buckets": NB,
-                      "metrics": {"wall_sec": round(time.perf_counter() - t0, 3)}},
+                      "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
+                                  **{f"{k}_sec": v
+                                     for k, v in phase_sec.items()}}},
                  expected_parent=snap.version)
     for_root(root).delete_dir(f"tmp/cluster-{run_id}")
     return out

@@ -290,14 +290,21 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             dv_metas[f.fragment_id] = FragmentMeta.from_dict(rec["meta"])
         else:
             todo.append(f)
+    # per-stage wall seconds for the commit's job metrics (DV and fold
+    # run concurrently, so each future times itself)
+    stage_sec: dict[str, float] = {}
+
     def run_dv_stage() -> list:
         if not todo:
             return []
+        tp = time.perf_counter()
         keys_ref = ray.put(tombstones)
         items = [{"meta": json.dumps(asdict(f))} for f in todo]
         ds = rd.from_items(items, override_num_blocks=len(items))
-        return ds.map_batches(_DVUpdate(root, run_id, keys_ref), batch_size=1,
-                              batch_format="pyarrow").take_all()
+        out = ds.map_batches(_DVUpdate(root, run_id, keys_ref), batch_size=1,
+                             batch_format="pyarrow").take_all()
+        stage_sec["dv_sec"] = round(time.perf_counter() - tp, 3)
+        return out
 
     # -- stage 2: bucketed fold of CDC rows -> survivor fragments
     done_buckets = {rec["bucket"] for k, rec in done.items()
@@ -319,12 +326,15 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         return batch
 
     def run_fold_stage() -> list:
+        tp = time.perf_counter()
         cdc = rd.read_parquet(cdc_paths)
         cdc = cdc.map_batches(prep, batch_format="pyarrow")
         folded = cdc.groupby("_bucket").map_groups(
             _BucketMerge(root, run_id, floor_lsn, snap.schema),
             batch_format="pyarrow")
-        return folded.take_all()
+        out = folded.take_all()
+        stage_sec["fold_sec"] = round(time.perf_counter() - tp, 3)
+        return out
 
     # stages 1 and 2 are independent until the commit fold (the DV pass
     # touches only base fragments, the fold only CDC rows) — run their
@@ -355,5 +365,6 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                        "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
                                    "cdc_ops": n_ops,
                                    "tombstones": len(tombstones),
-                                   "dv_fragments": len(dv_metas)}},
+                                   "dv_fragments": len(dv_metas),
+                                   **stage_sec}},
                   expected_parent=snap.version)

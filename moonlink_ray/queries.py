@@ -117,7 +117,11 @@ def ensure_images_fixture(sf_dir: str) -> dict:
         with open(marker) as f:
             stale = json.load(f) != fp
     if stale:
-        pq.write_table(scan_arrow(root, 1), base_dump + ".tmp")
+        # NONE + small row groups: the dump lives on tmpfs and holds
+        # already-compressed image payloads; snappy here cost ~18 min
+        # of single-core CPU at bench scale for zero space win
+        pq.write_table(scan_arrow(root, 1), base_dump + ".tmp",
+                       compression="NONE", row_group_size=4096)
         os.replace(base_dump + ".tmp", base_dump)
         with open(marker, "w") as f:
             json.dump(fp, f)

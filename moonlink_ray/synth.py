@@ -175,23 +175,53 @@ def build_cdc(n_base: int, n_ops: int, *, seed: int = SEED + 1,
         cols["_seq"].append(0)
         cols["content_idx"].append(j if op != "delete" else -1)
 
-    # materialize content for insert/upsert rows
+    # materialize content for insert/upsert rows (parallel when a Ray
+    # session exists), then assemble vectorized: a take with null
+    # indices aligns content rows to op positions — no per-cell Python
     live = [k for k, c in enumerate(cols["content_idx"]) if c >= 0]
-    content = build_rows([cols["content_idx"][k] for k in live], seed=seed,
-                         content_offset=_CDC_CONTENT_OFFSET)
-    by_pos = {k: r for k, r in zip(live, range(content.num_rows))}
-
-    out = {name: [] for name in CDC_SCHEMA.names}
-    for k in range(n_ops):
-        out["image_id"].append(cols["image_id"][k])
-        out["_op"].append(cols["_op"][k])
-        out["_lsn"].append(cols["_lsn"][k])
-        out["_seq"].append(cols["_seq"][k])
-        if k in by_pos:
-            r = by_pos[k]
-            for c in ("bytes", "w", "h", "fmt", "caption", "phash"):
-                out[c].append(content[c][r].as_py())
+    content = build_rows_parallel([cols["content_idx"][k] for k in live],
+                                  seed=seed,
+                                  content_offset=_CDC_CONTENT_OFFSET)
+    import pyarrow.compute as pc
+    idx = np.full(n_ops, -1, dtype=np.int64)
+    idx[live] = np.arange(len(live), dtype=np.int64)
+    take_idx = pa.array(idx, mask=idx < 0)
+    arrays = []
+    for field in CDC_SCHEMA:
+        if field.name == "image_id":
+            arrays.append(pa.array(cols["image_id"], field.type))
+        elif field.name in ("_op", "_lsn", "_seq"):
+            arrays.append(pa.array(cols[field.name], field.type))
         else:
-            for c in ("bytes", "w", "h", "fmt", "caption", "phash"):
-                out[c].append(None)
-    return pa.table(out, schema=CDC_SCHEMA)
+            taken = pc.take(content[field.name], take_idx)
+            arrays.append(taken.combine_chunks()
+                          if isinstance(taken, pa.ChunkedArray) else taken)
+    return pa.table(arrays, schema=CDC_SCHEMA)
+
+
+def build_rows_parallel(indices, seed: int = SEED, content_offset: int = 0,
+                        scale: int = 1, chunk: int = 128) -> pa.Table:
+    """``build_rows`` fanned out over Ray tasks (row-identical output:
+    each index's content is independent, and chunked concat preserves
+    order). Falls back to the serial path without a Ray session or for
+    small inputs."""
+    indices = [int(i) for i in indices]
+    try:
+        import ray
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if not have_ray or len(indices) < 2 * chunk:
+        return build_rows(indices, seed=seed, content_offset=content_offset,
+                          scale=scale)
+
+    import ray
+
+    @ray.remote
+    def _chunk(idxs: list[int]) -> pa.Table:
+        return build_rows(idxs, seed=seed, content_offset=content_offset,
+                          scale=scale)
+
+    refs = [_chunk.remote(indices[i:i + chunk])
+            for i in range(0, len(indices), chunk)]
+    return pa.concat_tables(ray.get(refs)).combine_chunks()
