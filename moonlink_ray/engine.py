@@ -9,6 +9,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine merge    --root T --cdc c.parquet [--run-id R]
     python -m moonlink_ray.engine compact  --root T [--mode best_effort|force|full]
     python -m moonlink_ray.engine cluster  --root T
+    python -m moonlink_ray.engine optimize --root T   # fused compact+cluster
     python -m moonlink_ray.engine expire   --root T --keep-last 2
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
@@ -52,6 +53,10 @@ def main(argv=None):
                    choices=["best_effort", "force", "full"])
     s.add_argument("--run-id", default=None)
     s = add("cluster")
+    s.add_argument("--run-id", default=None)
+    s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
+    s = add("optimize")
     s.add_argument("--run-id", default=None)
     s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
@@ -111,6 +116,11 @@ def main(argv=None):
         from .pipelines.cluster import cluster
         snap = cluster(args.root, run_id=args.run_id, curve=args.curve,
                        exchange=args.exchange)
+        out = {"version": snap.version if snap else None}
+    elif args.cmd == "optimize":
+        from .pipelines.optimize import optimize
+        snap = optimize(args.root, run_id=args.run_id, curve=args.curve,
+                        exchange=args.exchange)
         out = {"version": snap.version if snap else None}
     elif args.cmd == "expire":
         from .pipelines.expire import expire

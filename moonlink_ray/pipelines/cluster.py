@@ -230,7 +230,7 @@ class _WriteBucket:
     path's _BucketSort)."""
 
     def __init__(self, root, run_id, target_bytes, max_lsn, schema_names,
-                 sources, schema_list=None):
+                 sources, schema_list=None, reencode_psnr=None):
         from ..schema import schema_from_list
         self.root = root
         self.run_id = run_id
@@ -240,6 +240,7 @@ class _WriteBucket:
         self.sources = sources
         schema = schema_from_list(schema_list)
         self.schema = schema if schema is not None else IMAGES_SCHEMA
+        self.reencode_psnr = reencode_psnr
         self.__name__ = "ClusterBucketWriter"
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -249,6 +250,9 @@ class _WriteBucket:
             t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
                           ("image_id", "ascending")]))
         out = t.select(self.schema_names).cast(self.schema)
+        if self.reencode_psnr is not None:
+            from .compact import reencode_table
+            out = reencode_table(out, self.reencode_psnr)
         metas = []
         for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
             frag_id = f"frag-{self.run_id}-z{zb:05d}-{n:03d}"
@@ -336,11 +340,17 @@ class _DeriveSpill:
 class _BucketSort:
     """map_batches task over bucket ids (batch_size=1): read exactly the
     recorded spill files of one bucket, sort by (zkey, salt, image_id),
-    write size-capped fragments + a per-bucket lineage checkpoint."""
+    write size-capped fragments + a per-bucket lineage checkpoint.
+
+    ``reencode_psnr`` (not None) additionally re-encodes every image and
+    verifies the PSNR/lossless invariant before writing — the fused
+    OPTIMIZE path (compact + cluster in ONE rewrite), where the codec
+    work rides the exchange instead of paying a second full pass."""
 
     def __init__(self, root: str, run_id: str, files_ref, target_bytes: int,
                  max_lsn: int, schema_names: list[str], sources: list[str],
-                 schema_list: list | None = None):
+                 schema_list: list | None = None,
+                 reencode_psnr: float | None = None):
         import ray
         from ..schema import schema_from_list
         self.root = root
@@ -352,6 +362,7 @@ class _BucketSort:
         schema = schema_from_list(schema_list)
         self.schema = schema if schema is not None else IMAGES_SCHEMA
         self.schema_names = schema_names
+        self.reencode_psnr = reencode_psnr
         self.__name__ = "ClusterBucketSort"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -373,6 +384,9 @@ class _BucketSort:
                 t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
                               ("image_id", "ascending")]))
             out = t.select(self.schema_names).cast(self.schema)
+            if self.reencode_psnr is not None:
+                from .compact import reencode_table
+                out = reencode_table(out, self.reencode_psnr)
             gmetas = []
             for n, chunk in enumerate(_chunk_by_bytes(out, self.target_bytes)):
                 frag_id = f"frag-{self.run_id}-z{int(zb):05d}-{n:03d}"
@@ -394,7 +408,9 @@ def cluster(root: str, *, run_id: str | None = None,
             num_buckets: int | None = None,
             curve: str = "zorder",
             exchange: str = "spill",
-            fragment_target_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
+            fragment_target_bytes: int = 128 * 1024 * 1024,
+            reencode_psnr: float | None = None,
+            job_kind: str = "cluster") -> Snapshot | None:
     """Full-table Z-order/Hilbert rewrite; returns the new snapshot.
 
     ``exchange`` picks the wide path:
@@ -489,7 +505,8 @@ def cluster(root: str, *, run_id: str | None = None,
                             batch_size=None, batch_format="pyarrow")
         rows = ds.groupby("_zb").map_groups(
             _WriteBucket(root, run_id, fragment_target_bytes, snap.max_lsn,
-                         out_schema.names, sources, snap.schema),
+                         out_schema.names, sources, snap.schema,
+                         reencode_psnr),
             batch_format="pyarrow").take_all()
         new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                          for r in rows)
@@ -530,7 +547,7 @@ def cluster(root: str, *, run_id: str | None = None,
             rows = items.map_batches(
                 _BucketSort(root, run_id, files_ref, fragment_target_bytes,
                             snap.max_lsn, out_schema.names, sources,
-                            snap.schema),
+                            snap.schema, reencode_psnr),
                 batch_size=1, batch_format="pyarrow").take_all()
             new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                              for r in rows)
@@ -544,7 +561,7 @@ def cluster(root: str, *, run_id: str | None = None,
         raise AssertionError(f"cluster row mismatch: wrote {got}, expected {want}")
     new_metas.sort(key=lambda m: m.fragment_id)
     out = commit(root, new_metas, max_lsn=snap.max_lsn,
-                 job={"kind": "cluster", "run_id": run_id, "curve": curve,
+                 job={"kind": job_kind, "run_id": run_id, "curve": curve,
                       "exchange": exchange,
                       "hot_zkeys": len(hot), "num_buckets": NB,
                       "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
