@@ -197,6 +197,20 @@ def maint_cluster(sf_dir: str):
     return _scan_digested(root)
 
 
+def maint_optimize(sf_dir: str):
+    """Production maintenance path: MERGE the CDC batch, then the fused
+    OPTIMIZE (compact + Z-order cluster in ONE rewrite). Content equals
+    the merged table (DVs applied, idempotent re-encode), so the oracle
+    is the same _MERGED_SQL as maint_merge — but the physical result is
+    compacted AND clustered with one fewer full pass."""
+    from .pipelines.optimize import optimize
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "optimize")
+    merge(root, fix["cdc"])
+    optimize(root, cfg=_COMPACT_CFG)
+    return _scan_digested(root)
+
+
 def maint_cluster_hilbert(sf_dir: str):
     """Hilbert-curve variant of the cluster rewrite (north rule names
     both curves); content-equality oracle is identical — only the
@@ -794,6 +808,7 @@ def queries():
         "maint_merge": maint_merge,
         "maint_compact": maint_compact,
         "maint_cluster": maint_cluster,
+        "maint_optimize": maint_optimize,
         "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
         "maint_load_files": maint_load_files,
@@ -873,6 +888,7 @@ def oracle_sql():
                          f"FROM read_parquet({_MAINT_BASE})",
         "maint_cluster_hilbert": f"SELECT {_DIGEST_COLS} "
                                  f"FROM read_parquet({_MAINT_BASE})",
+        "maint_optimize": _MERGED_SQL,
         "maint_expire": _MERGED_SQL,
         "maint_load_files": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE})",
