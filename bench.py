@@ -1,9 +1,13 @@
 """Benchmark harness.
 
-Headline: the full maintenance suite (MERGE -> compact -> Z-order
-cluster -> expire) over the deterministic synthetic image table sized
-for $GRAFT_SF_DIR, plus per-operator timings for representative
-training-data pipelines over the driver's parquet tables.
+Headline: the production maintenance suite (MERGE -> fused OPTIMIZE
+[compact + Z-order cluster in ONE rewrite] -> expire) over the
+deterministic synthetic image table sized for $GRAFT_SF_DIR, plus
+per-operator timings for representative training-data pipelines over
+the driver's parquet tables. The standalone compact and cluster passes
+are still timed (keys "compact"/"cluster") for round-over-round
+continuity, but outside the headline suite: OPTIMIZE is the
+recommended way to run both, with one fewer full pass over the data.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <suite seconds>, "unit": "sec",
@@ -77,10 +81,9 @@ def prefault_guest_memory(target_gb: int = 24, budget_s: int = 120) -> float:
 def run_suite(rep: int = 0) -> dict:
     from moonlink_ray.queries import (_COMPACT_CFG, _fresh_copy,
                                       ensure_images_fixture)
-    from moonlink_ray.pipelines.cluster import cluster
-    from moonlink_ray.pipelines.compact import compact
     from moonlink_ray.pipelines.expire import expire
     from moonlink_ray.pipelines.merge import merge
+    from moonlink_ray.pipelines.optimize import optimize
     from moonlink_ray.sources.scan import scan
 
     fix = ensure_images_fixture(SF_DIR)  # cached; synthesis NOT timed
@@ -98,11 +101,8 @@ def run_suite(rep: int = 0) -> dict:
     merge(root, fix["cdc"])
     stages["merge"] = round(time.perf_counter() - t, 3)
     t = time.perf_counter()
-    compact(root, cfg=_COMPACT_CFG)
-    stages["compact"] = round(time.perf_counter() - t, 3)
-    t = time.perf_counter()
-    cluster(root)
-    stages["cluster"] = round(time.perf_counter() - t, 3)
+    optimize(root, cfg=_COMPACT_CFG)
+    stages["optimize"] = round(time.perf_counter() - t, 3)
     t = time.perf_counter()
     expire(root, keep_last=2)
     stages["expire"] = round(time.perf_counter() - t, 3)
@@ -110,6 +110,29 @@ def run_suite(rep: int = 0) -> dict:
     shutil.rmtree(root, ignore_errors=True)  # bound tmpfs usage across reps
     return {"stages": stages, "suite_sec": total, "images": fix["n"],
             "images_per_sec": round(fix["n"] / total, 1)}
+
+
+def run_legacy_stages() -> dict:
+    """Standalone compact and cluster timings (round-over-round
+    continuity with the r01 suite); not part of the headline."""
+    from moonlink_ray.queries import (_COMPACT_CFG, _fresh_copy,
+                                      ensure_images_fixture)
+    from moonlink_ray.pipelines.cluster import cluster
+    from moonlink_ray.pipelines.compact import compact
+    from moonlink_ray.sources.scan import scan
+
+    fix = ensure_images_fixture(SF_DIR)
+    root = _fresh_copy(fix, f"legacy{NCPU}")
+    scan(root, columns=["image_id", "phash"]).count()
+    out = {}
+    t = time.perf_counter()
+    compact(root, cfg=_COMPACT_CFG)
+    out["compact"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    cluster(root)
+    out["cluster"] = round(time.perf_counter() - t, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def run_query_benches() -> dict:
@@ -147,9 +170,12 @@ def bench_once() -> dict:
     total = sum(stages.values())
     suite = {"stages": stages, "suite_sec": total, "images": reps[0]["images"],
              "images_per_sec": round(reps[0]["images"] / total, 1)}
-    qb = {} if os.environ.get("GRAFT_SUITE_ONLY") else run_query_benches()
+    if os.environ.get("GRAFT_SUITE_ONLY"):
+        qb = {}
+    else:
+        qb = {**run_legacy_stages(), **run_query_benches()}
     result = {
-        "metric": "maintenance suite (merge+compact+cluster+expire) wall sec",
+        "metric": "maintenance suite (merge+optimize+expire) wall sec",
         "value": round(suite["suite_sec"], 3),
         "unit": "sec",
         "queries": {**suite["stages"], **qb},
@@ -176,7 +202,7 @@ def run_child(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-_SUITE_STAGES = ("merge", "compact", "cluster", "expire")
+_SUITE_STAGES = ("merge", "optimize", "expire")
 
 
 def combine_legs(legs: list[dict]) -> dict:

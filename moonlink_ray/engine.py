@@ -10,6 +10,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine compact  --root T [--mode best_effort|force|full]
     python -m moonlink_ray.engine cluster  --root T
     python -m moonlink_ray.engine optimize --root T   # fused compact+cluster
+    python -m moonlink_ray.engine follow   --root T --cdc-dir D  # tail CDC dir
     python -m moonlink_ray.engine expire   --root T --keep-last 2
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
@@ -48,6 +49,11 @@ def main(argv=None):
     s.add_argument("--cdc", required=True, nargs="+")
     s.add_argument("--run-id", default=None)
     s.add_argument("--num-buckets", type=int, default=None)
+    s = add("follow")
+    s.add_argument("--cdc-dir", required=True)
+    s.add_argument("--poll", type=float, default=1.0)
+    s.add_argument("--idle-stop", type=int, default=3,
+                   help="stop after this many empty polls; 0 = forever")
     s = add("compact")
     s.add_argument("--mode", default="best_effort",
                    choices=["best_effort", "force", "full"])
@@ -107,6 +113,10 @@ def main(argv=None):
                      num_buckets=args.num_buckets)
         out = {"version": snap.version, "max_lsn": snap.max_lsn,
                "fragments": len(snap.fragments)}
+    elif args.cmd == "follow":
+        from .pipelines.follow import follow
+        out = follow(args.root, args.cdc_dir, poll_interval=args.poll,
+                     idle_cycles=args.idle_stop or None)
     elif args.cmd == "compact":
         from .pipelines.compact import compact
         snap = compact(args.root, mode=args.mode, run_id=args.run_id)
