@@ -64,6 +64,7 @@ def main(argv=None):
     s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
     s = add("optimize")
     s.add_argument("--run-id", default=None)
+    s.add_argument("--mode", default="full", choices=["full", "incremental"])
     s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
     s = add("expire")
@@ -129,9 +130,10 @@ def main(argv=None):
         out = {"version": snap.version if snap else None}
     elif args.cmd == "optimize":
         from .pipelines.optimize import optimize
-        snap = optimize(args.root, run_id=args.run_id, curve=args.curve,
-                        exchange=args.exchange)
-        out = {"version": snap.version if snap else None}
+        snap = optimize(args.root, run_id=args.run_id, mode=args.mode,
+                        curve=args.curve, exchange=args.exchange)
+        out = {"version": snap.version if snap else None,
+               "noop": snap is None}
     elif args.cmd == "expire":
         from .pipelines.expire import expire
         out = expire(args.root, keep_last=args.keep_last,

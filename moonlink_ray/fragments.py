@@ -49,7 +49,8 @@ def fragment_path(fragment_id: str) -> str:
 
 
 def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
-                   lineage: list[str] | None = None, max_lsn: int = 0) -> FragmentMeta:
+                   lineage: list[str] | None = None, max_lsn: int = 0,
+                   zgen: str | None = None) -> FragmentMeta:
     """Write one immutable fragment and return its manifest entry."""
     fs = for_root(root)
     rel = fragment_path(fragment_id)
@@ -68,6 +69,7 @@ def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
         dv=None,
         lineage=sorted(lineage or []),
         max_lsn=max_lsn,
+        zgen=zgen,
     )
 
 

@@ -53,6 +53,11 @@ class FragmentMeta:
     dv: dict[str, Any] | None = None   # {"path": ..., "count": ...}
     lineage: list[str] = field(default_factory=list)  # source fragment ids
     max_lsn: int = 0
+    # clustering provenance: run_id of the cluster/optimize pass that
+    # wrote this fragment in curve order, else None (Delta's ZCube-id
+    # analog). Incremental OPTIMIZE selects zgen-less fragments; absent
+    # in pre-upgrade manifests, where the dataclass default applies.
+    zgen: str | None = None
 
     @property
     def live_rows(self) -> int:

@@ -86,7 +86,8 @@ _SAMPLE_CAP = 512
 _TOPK = 64
 
 
-def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder"):
+def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder",
+                        fragments=None):
     """Bounded statistics pass: per-batch weighted zkey sample + top-k
     counts. Reads only (phash, w, h) — a few bytes per row, no image
     payload.
@@ -99,7 +100,8 @@ def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder"):
     contain it). At extreme scale this pass would add one tree-reduce
     level; the driver math is unchanged.
     """
-    ds = scan(root, columns=["phash", "w", "h"], fragments=snap.fragments)
+    ds = scan(root, columns=["phash", "w", "h"],
+              fragments=snap.fragments if fragments is None else fragments)
     key_fn = CURVE_KEYS[curve]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -258,7 +260,8 @@ class _WriteBucket:
             frag_id = f"frag-{self.run_id}-z{zb:05d}-{n:03d}"
             metas.append(write_fragment(self.root, chunk, frag_id,
                                         lineage=self.sources,
-                                        max_lsn=self.max_lsn))
+                                        max_lsn=self.max_lsn,
+                                        zgen=self.run_id))
         write_lineage(self.root, self.run_id, f"zb-{zb:05d}", {
             "kind": "cluster-bucket", "bucket": zb,
             "fragments": [asdict(m) for m in metas],
@@ -392,7 +395,8 @@ class _BucketSort:
                 frag_id = f"frag-{self.run_id}-z{int(zb):05d}-{n:03d}"
                 gmetas.append(write_fragment(self.root, chunk, frag_id,
                                              lineage=self.sources,
-                                             max_lsn=self.max_lsn))
+                                             max_lsn=self.max_lsn,
+                                             zgen=self.run_id))
             write_lineage(self.root, self.run_id, f"zb-{int(zb):05d}", {
                 "kind": "cluster-bucket", "bucket": int(zb),
                 "fragments": [asdict(m) for m in gmetas],
@@ -410,6 +414,7 @@ def cluster(root: str, *, run_id: str | None = None,
             exchange: str = "spill",
             fragment_target_bytes: int = 128 * 1024 * 1024,
             reencode_psnr: float | None = None,
+            only_fragments: list[FragmentMeta] | None = None,
             job_kind: str = "cluster") -> Snapshot | None:
     """Full-table Z-order/Hilbert rewrite; returns the new snapshot.
 
@@ -444,6 +449,15 @@ def cluster(root: str, *, run_id: str | None = None,
     if not snap.fragments:
         return None
 
+    # incremental rewrite: only ``only_fragments`` go through the
+    # exchange; the rest carry over untouched (Delta OPTIMIZE shape —
+    # the 100-TB path never rewrites already-clustered data)
+    victims = snap.fragments if only_fragments is None else list(only_fragments)
+    if not victims:
+        return None
+    victim_ids = {f.fragment_id for f in victims}
+    retained = [f for f in snap.fragments if f.fragment_id not in victim_ids]
+
     done = read_lineage(root, run_id)
 
     # per-phase wall seconds, surfaced in the commit's job metrics (the
@@ -462,6 +476,15 @@ def cluster(root: str, *, run_id: str | None = None,
         hot = {int(k): int(v) for k, v in params["hot"].items()}
         curve = params.get("curve", curve)
         exchange = params.get("exchange", exchange)
+        if params.get("victims") is not None:
+            # resume must rewrite the pinned victim set, not a fresh
+            # selection over the same snapshot (identical today, but
+            # pinning removes the coupling)
+            by_id = snap.frag_by_id
+            victims = [by_id[i] for i in params["victims"]]
+            victim_ids = set(params["victims"])
+            retained = [f for f in snap.fragments
+                        if f.fragment_id not in victim_ids]
     else:
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # floor of 128 / 4x-CPU buckets: bucket count well above CPU
@@ -472,23 +495,30 @@ def cluster(root: str, *, run_id: str | None = None,
         # fewer than ~3 zkey bits of range resolution makes the phash
         # zone maps span the whole domain, defeating the pruning the
         # rewrite exists to provide.
-        total_bytes = sum(f.size_bytes for f in snap.fragments)
-        cap = max(8, total_bytes // (8 * 1024 * 1024))
+        total_bytes = sum(f.size_bytes for f in victims)
+        # the >=8 floor (zkey range resolution for zone maps) applies to
+        # full-table rewrites; an incremental victim fold must be able
+        # to COLLAPSE a few small fragments into one, and the retained
+        # fragments already carry the layout's range resolution
+        floor = 8 if only_fragments is None else 1
+        cap = max(floor, total_bytes // (8 * 1024 * 1024))
         NB = num_buckets or min(max(128, 4 * n_cpus), cap)
-        samples, weights, hot_counts, total = _zkey_stats_sampled(root, snap,
-                                                                  curve)
+        samples, weights, hot_counts, total = _zkey_stats_sampled(
+            root, snap, curve, fragments=victims)
         boundaries, hot = _plan_buckets(samples, weights, hot_counts, total,
                                         NB, hot_threshold)
         write_lineage(root, run_id, "params", {
             "kind": "cluster-params", "num_buckets": NB, "curve": curve,
             "exchange": exchange,
+            "victims": (sorted(victim_ids)
+                        if only_fragments is not None else None),
             "boundaries": [int(b) for b in boundaries],
             "hot": {str(k): v for k, v in hot.items()}})
     phase_sec["plan"] = round(time.perf_counter() - tp, 3)
 
     from ..schema import table_schema
     out_schema = table_schema(snap)
-    sources = sorted(f.fragment_id for f in snap.fragments)
+    sources = sorted(victim_ids)
     new_metas: list[FragmentMeta] = []
     done_buckets = set()
     for k, rec in done.items():
@@ -499,7 +529,7 @@ def cluster(root: str, *, run_id: str | None = None,
 
     if exchange == "plasma":
         tp = time.perf_counter()
-        ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
+        ds = scan(root, fragments=victims, schema_list=snap.schema)
         # batch_size=None: fuse-safe (see scan() docstring)
         ds = ds.map_batches(_Derive(boundaries, hot, NB, curve, done_buckets),
                             batch_size=None, batch_format="pyarrow")
@@ -518,7 +548,7 @@ def cluster(root: str, *, run_id: str | None = None,
         if spill_rec:
             files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
         else:
-            ds = scan(root, fragments=snap.fragments, schema_list=snap.schema)
+            ds = scan(root, fragments=victims, schema_list=snap.schema)
             summary = ds.map_batches(
                 _DeriveSpill(root, run_id, boundaries, hot, NB, curve),
                 batch_size=None, batch_format="pyarrow").take_all()
@@ -528,9 +558,10 @@ def cluster(root: str, *, run_id: str | None = None,
                 files_by_bucket.setdefault(int(r["zb"]), []).append(
                     [r["file"], int(r["rg"])])
                 spilled += int(r["rows"])
-            if spilled != snap.total_rows:
+            want_live = sum(f.live_rows for f in victims)
+            if spilled != want_live:
                 raise AssertionError(
-                    f"cluster spill row mismatch: {spilled} != {snap.total_rows}")
+                    f"cluster spill row mismatch: {spilled} != {want_live}")
             write_lineage(root, run_id, "spill", {
                 "kind": "cluster-spill",
                 "files": {str(k): sorted(v) for k, v in files_by_bucket.items()}})
@@ -556,11 +587,11 @@ def cluster(root: str, *, run_id: str | None = None,
         raise ValueError(f"unknown exchange {exchange!r}")
 
     got = sum(m.rows for m in new_metas)
-    want = snap.total_rows
+    want = sum(f.live_rows for f in victims)
     if got != want:
         raise AssertionError(f"cluster row mismatch: wrote {got}, expected {want}")
     new_metas.sort(key=lambda m: m.fragment_id)
-    out = commit(root, new_metas, max_lsn=snap.max_lsn,
+    out = commit(root, retained + new_metas, max_lsn=snap.max_lsn,
                  job={"kind": job_kind, "run_id": run_id, "curve": curve,
                       "exchange": exchange,
                       "hot_zkeys": len(hot), "num_buckets": NB,

@@ -129,11 +129,17 @@ def ensure_images_fixture(sf_dir: str) -> dict:
 
 
 def _fresh_copy(fix: dict, tag: str) -> str:
-    """Maintenance jobs mutate the table; run each on a fresh copy."""
+    """Maintenance jobs mutate the table; run each on a fresh copy.
+
+    Hardlink the data files instead of copying bytes: every table
+    mutation is file-create, unlink, or atomic-replace (fragments and
+    DV sidecars are immutable copy-on-write; the version hint swaps via
+    os.replace) — never an in-place write — so linked trees can't
+    interfere. Turns a ~9 GB setup copy into a metadata-only clone."""
     dst = fix["root"] + "-" + tag
     if os.path.exists(dst):
         shutil.rmtree(dst)
-    shutil.copytree(fix["root"], dst)
+    shutil.copytree(fix["root"], dst, copy_function=os.link)
     return dst
 
 
