@@ -217,6 +217,47 @@ def maint_optimize(sf_dir: str):
     return _scan_digested(root)
 
 
+def maint_optimize_incremental(sf_dir: str):
+    """Incremental OPTIMIZE: full-cluster the base, merge the CDC batch,
+    then rewrite ONLY the victim fragments (no clustering provenance /
+    small / heavily-deleted) — the already-clustered generation carries
+    over untouched. Content oracle identical to maint_merge."""
+    from .pipelines.optimize import optimize
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "optinc")
+    optimize(root, cfg=_COMPACT_CFG)
+    merge(root, fix["cdc"])
+    optimize(root, cfg=_COMPACT_CFG, mode="incremental")
+    return _scan_digested(root)
+
+
+def maint_follow(sf_dir: str):
+    """Live-CDC FOLLOW: the fixture CDC batch lands as three files in a
+    tail directory; two polls micro-batch them into MERGEs. Content
+    oracle identical to maint_merge (same ops, applied in LSN order
+    across micro-batches)."""
+    import os
+
+    from .pipelines.follow import poll_once
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "follow")
+    cdc = pq.read_table(fix["cdc"])
+    cdc = cdc.take(pc.sort_indices(cdc, sort_keys=[("_lsn", "ascending"),
+                                                   ("_seq", "ascending")]))
+    cdc_dir = os.path.join(DATA_ROOT, _sf_name(sf_dir), "follow-incoming")
+    shutil.rmtree(cdc_dir, ignore_errors=True)
+    os.makedirs(cdc_dir)
+    n = cdc.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        part = cdc.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(part, os.path.join(cdc_dir, f"cdc-{i:04d}.parquet"))
+        if i == 0:  # first poll sees one file, second the remaining two
+            poll_once(root, cdc_dir)
+    poll_once(root, cdc_dir)
+    return _scan_digested(root)
+
+
 def maint_cluster_hilbert(sf_dir: str):
     """Hilbert-curve variant of the cluster rewrite (north rule names
     both curves); content-equality oracle is identical — only the
@@ -815,6 +856,8 @@ def queries():
         "maint_compact": maint_compact,
         "maint_cluster": maint_cluster,
         "maint_optimize": maint_optimize,
+        "maint_optimize_incremental": maint_optimize_incremental,
+        "maint_follow": maint_follow,
         "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
         "maint_load_files": maint_load_files,
@@ -895,6 +938,8 @@ def oracle_sql():
         "maint_cluster_hilbert": f"SELECT {_DIGEST_COLS} "
                                  f"FROM read_parquet({_MAINT_BASE})",
         "maint_optimize": _MERGED_SQL,
+        "maint_optimize_incremental": _MERGED_SQL,
+        "maint_follow": _MERGED_SQL,
         "maint_expire": _MERGED_SQL,
         "maint_load_files": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE})",
