@@ -16,12 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: bootstrap the deterministic image
-    table, run the full maintenance suite (MERGE -> compact -> Z-order
-    cluster -> expire), return the final snapshot scan as a Dataset."""
+    table, run the production maintenance suite (MERGE -> fused
+    OPTIMIZE [compact + Z-order cluster in one rewrite] -> expire),
+    return the final snapshot scan as a Dataset."""
     from moonlink_ray.queries import ensure_images_fixture, _fresh_copy, _COMPACT_CFG
     from moonlink_ray.pipelines.merge import merge
-    from moonlink_ray.pipelines.compact import compact
-    from moonlink_ray.pipelines.cluster import cluster
+    from moonlink_ray.pipelines.optimize import optimize
     from moonlink_ray.pipelines.expire import expire
     from moonlink_ray.sources.scan import scan
 
@@ -29,8 +29,7 @@ def entry() -> Any:
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "entry")
     merge(root, fix["cdc"])
-    compact(root, cfg=_COMPACT_CFG)
-    cluster(root)
+    optimize(root, cfg=_COMPACT_CFG)
     expire(root, keep_last=2)
     return scan(root)
 
