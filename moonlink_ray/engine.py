@@ -15,6 +15,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
     python -m moonlink_ray.engine status   --root T
+    python -m moonlink_ray.engine config   --root T [--set compaction.small_file_bytes=8388608]
 
 Only this CLI owns the Ray session (guarded init).
 """
@@ -51,8 +52,8 @@ def main(argv=None):
     s.add_argument("--num-buckets", type=int, default=None)
     s = add("follow")
     s.add_argument("--cdc-dir", required=True)
-    s.add_argument("--poll", type=float, default=1.0)
-    s.add_argument("--idle-stop", type=int, default=3,
+    s.add_argument("--poll", type=float, default=None)
+    s.add_argument("--idle-stop", type=int, default=None,
                    help="stop after this many empty polls; 0 = forever")
     s = add("compact")
     s.add_argument("--mode", default="best_effort",
@@ -60,16 +61,19 @@ def main(argv=None):
     s.add_argument("--run-id", default=None)
     s = add("cluster")
     s.add_argument("--run-id", default=None)
-    s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
-    s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
+    s.add_argument("--curve", default=None, choices=["zorder", "hilbert"])
+    s.add_argument("--exchange", default=None, choices=["plasma", "spill"])
     s = add("optimize")
     s.add_argument("--run-id", default=None)
     s.add_argument("--mode", default="full", choices=["full", "incremental"])
-    s.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
-    s.add_argument("--exchange", default="spill", choices=["plasma", "spill"])
+    s.add_argument("--curve", default=None, choices=["zorder", "hilbert"])
+    s.add_argument("--exchange", default=None, choices=["plasma", "spill"])
     s = add("expire")
-    s.add_argument("--keep-last", type=int, default=2)
+    s.add_argument("--keep-last", type=int, default=None)
     s.add_argument("--keep-orphans", action="store_true")
+    s = add("config")
+    s.add_argument("--set", nargs="*", default=[], metavar="SECTION.KEY=VALUE",
+                   help="persist overrides, e.g. compaction.small_file_bytes=8388608")
     s = add("scan")
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--out", required=True)
@@ -82,7 +86,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import ray
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -116,28 +121,55 @@ def main(argv=None):
                "fragments": len(snap.fragments)}
     elif args.cmd == "follow":
         from .pipelines.follow import follow
-        out = follow(args.root, args.cdc_dir, poll_interval=args.poll,
-                     idle_cycles=args.idle_stop or None)
+        from .table_config import load_table_config
+        tc = load_table_config(args.root).follow
+        poll = tc.poll_interval if args.poll is None else args.poll
+        idle = tc.idle_cycles if args.idle_stop is None else args.idle_stop
+        out = follow(args.root, args.cdc_dir, poll_interval=poll,
+                     idle_cycles=idle or None)
     elif args.cmd == "compact":
         from .pipelines.compact import compact
-        snap = compact(args.root, mode=args.mode, run_id=args.run_id)
+        from .table_config import load_table_config
+        snap = compact(args.root, mode=args.mode, run_id=args.run_id,
+                       cfg=load_table_config(args.root).compaction)
         out = {"version": snap.version if snap else None,
                "noop": snap is None}
     elif args.cmd == "cluster":
         from .pipelines.cluster import cluster
-        snap = cluster(args.root, run_id=args.run_id, curve=args.curve,
-                       exchange=args.exchange)
+        from .table_config import load_table_config
+        tc = load_table_config(args.root).cluster
+        snap = cluster(args.root, run_id=args.run_id,
+                       curve=args.curve or tc.curve,
+                       exchange=args.exchange or tc.exchange,
+                       hot_threshold=tc.hot_threshold,
+                       fragment_target_bytes=tc.fragment_target_bytes)
         out = {"version": snap.version if snap else None}
     elif args.cmd == "optimize":
         from .pipelines.optimize import optimize
+        from .table_config import load_table_config
+        tc = load_table_config(args.root)
         snap = optimize(args.root, run_id=args.run_id, mode=args.mode,
-                        curve=args.curve, exchange=args.exchange)
+                        cfg=tc.compaction,
+                        hot_threshold=tc.cluster.hot_threshold,
+                        curve=args.curve or tc.cluster.curve,
+                        exchange=args.exchange or tc.cluster.exchange)
         out = {"version": snap.version if snap else None,
                "noop": snap is None}
     elif args.cmd == "expire":
         from .pipelines.expire import expire
-        out = expire(args.root, keep_last=args.keep_last,
+        from .table_config import load_table_config
+        keep = (load_table_config(args.root).expire.keep_last
+                if args.keep_last is None else args.keep_last)
+        out = expire(args.root, keep_last=keep,
                      clean_orphans=not args.keep_orphans)
+    elif args.cmd == "config":
+        from .table_config import load_table_config, set_table_config
+        if getattr(args, "set"):
+            assigns = dict(a.split("=", 1) for a in getattr(args, "set"))
+            tc = set_table_config(args.root, assigns)
+        else:
+            tc = load_table_config(args.root)
+        out = tc.to_dict()
     elif args.cmd == "scan":
         from .sources.scan import scan
         ds = scan(args.root, version=args.snapshot)
@@ -158,7 +190,8 @@ def main(argv=None):
         from .metrics import history
         out = {"history": history(args.root)}
     print(json.dumps(out))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
 
 
 if __name__ == "__main__":
