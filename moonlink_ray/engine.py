@@ -76,6 +76,8 @@ def main(argv=None):
                    help="persist overrides, e.g. compaction.small_file_bytes=8388608")
     s = add("scan")
     s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--at-lsn", type=int, default=None,
+                   help="read table state as of this replication LSN")
     s.add_argument("--out", required=True)
     s = add("alter")
     s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
@@ -172,7 +174,7 @@ def main(argv=None):
         out = tc.to_dict()
     elif args.cmd == "scan":
         from .sources.scan import scan
-        ds = scan(args.root, version=args.snapshot)
+        ds = scan(args.root, version=args.snapshot, at_lsn=args.at_lsn)
         ds.write_parquet(args.out)
         out = {"rows": ds.count(), "out": args.out}
     elif args.cmd == "alter":

@@ -121,6 +121,23 @@ def load(root: str, version: int | None = None) -> Snapshot:
         f"snapshots/v{version}.json"))
 
 
+def version_at_lsn(root: str, lsn: int) -> int:
+    """Newest RETAINED snapshot version with max_lsn <= lsn — the batch
+    analog of moonlink's ``scan_table(lsn)`` read-state resolution
+    (``/root/reference/src/moonlink/src/union_read/read_state_manager.rs:
+    90-164``: a reader asks for table state as of a replication LSN).
+    Among equal-max_lsn snapshots (maintenance commits don't advance
+    LSN) the newest wins: same rows, better layout."""
+    best = None
+    for v in list_versions(root):
+        s = load(root, v)
+        if s.max_lsn <= lsn and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(f"no retained snapshot at lsn <= {lsn}")
+    return best
+
+
 def list_versions(root: str) -> list[int]:
     out = []
     for name in for_root(root).listdir("snapshots"):

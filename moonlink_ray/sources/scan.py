@@ -98,8 +98,12 @@ def prune_fragments(fragments: list[FragmentMeta],
 def scan(root: str, version: int | None = None, columns: list[str] | None = None,
          *, with_pos: bool = False, with_frag: bool = False,
          fragments: list[FragmentMeta] | None = None,
-         predicate: dict | None = None, schema_list: list | None = None):
+         predicate: dict | None = None, schema_list: list | None = None,
+         at_lsn: int | None = None):
     """Dataset over the live rows of a snapshot (or an explicit fragment list).
+
+    ``at_lsn`` resolves the newest retained snapshot whose max_lsn is
+    <= the given replication LSN (moonlink ``scan_table(lsn)``).
 
     ``predicate`` ({col: (lo, hi)} inclusive ranges) is pushed down two
     ways: fragments whose zone maps cannot intersect it are never read
@@ -115,6 +119,11 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
     use ``batch_size=None`` (one fragment block per task)."""
     import ray.data as rd
 
+    if at_lsn is not None:
+        if version is not None:
+            raise ValueError("pass version or at_lsn, not both")
+        from ..manifest import version_at_lsn
+        version = version_at_lsn(root, at_lsn)
     if fragments is None:
         snap = load(root, version)
         fragments, schema_list = snap.fragments, snap.schema

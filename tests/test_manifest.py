@@ -74,3 +74,35 @@ def test_snapshot_isolation_files_immutable(tmp_path):
     again = load(root, s1.version)
     assert [f.fragment_id for f in again.fragments] == ["frag-a"]
     assert read_fragment(root, again.fragments[0]).equals(before)
+
+
+class TestVersionAtLsn:
+    """scan_table(lsn) analog: resolve snapshots by replication LSN."""
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_resolution_rules(self, tmp_path):
+        from moonlink_ray.bootstrap import (bootstrap_images_table,
+                                            write_cdc_parquet)
+        from moonlink_ray.manifest import load, version_at_lsn
+        from moonlink_ray.pipelines.merge import merge
+        from moonlink_ray.pipelines.optimize import optimize
+        from moonlink_ray.sources.scan import scan
+
+        root = str(tmp_path / "t")
+        bootstrap_images_table(root, 80, rows_per_fragment=32)  # v1, lsn 0
+        cdc = str(tmp_path / "cdc.parquet")
+        write_cdc_parquet(cdc, n_base=80, n_ops=20)  # lsns 1000..1019
+        merge(root, cdc)            # v2, max_lsn 1019
+        optimize(root)              # v3, same max_lsn, better layout
+
+        assert version_at_lsn(root, 0) == 1
+        assert version_at_lsn(root, 999) == 1
+        # maintenance does not advance LSN: newest layout wins
+        assert version_at_lsn(root, 1019) == 3
+        assert version_at_lsn(root, 10**9) == 3
+        assert version_at_lsn(root, -1) == 0  # empty init snapshot
+        with pytest.raises(ValueError):
+            version_at_lsn(root, -2)
+        # scan(at_lsn) sees the pre-merge content
+        assert scan(root, at_lsn=500).count() == 80
+        assert scan(root, at_lsn=2000).count() == load(root).total_rows
