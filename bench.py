@@ -209,6 +209,34 @@ def weather_index(seconds: float = 1.0) -> float:
     return round(c / (time.perf_counter() - t0), 1)
 
 
+def hw_ceiling_probe(ncpu: int, seconds: float = 3.0) -> float:
+    """Attainable aggregate compute at this instant: 2*ncpu processes
+    of sustained zlib pinned to ncpu cores, total compressions/s.
+
+    The host OVERCOMMITS vCPUs: measured same-minute probes show 32
+    runners getting anywhere from ~14 to ~23 physical cores' worth
+    while 8 runners always get their full 8. An "8 vs 32 CPU" engine
+    comparison therefore measures host core availability as much as
+    the engine; probing the ceiling with pure CPU work at the same
+    moments lets the result separate the two (normalized efficiency =
+    engine ratio / ceiling ratio)."""
+    import subprocess as sp
+    script = (
+        "import sys,time,zlib,os\n"
+        "from multiprocessing import Pool\n"
+        "def burn(_):\n"
+        "    d=os.urandom(1<<20); t0=time.time(); c=0\n"
+        f"    while time.time()-t0<{seconds}: zlib.compress(d,6); c+=1\n"
+        "    return c\n"
+        f"p=Pool({2*ncpu}); r=p.map(burn,range({2*ncpu})); p.terminate()\n"
+        f"print(sum(r)/{seconds})\n")
+    cmd = [sys.executable, "-c", script]
+    if hasattr(os, "sched_getaffinity") and ncpu < len(os.sched_getaffinity(0)):
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+    out = sp.run(cmd, capture_output=True, text=True, check=True).stdout
+    return round(float(out.strip().splitlines()[-1]), 1)
+
+
 def run_child(ncpu: int, reps: int = 2) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                GRAFT_SUITE_ONLY="1", GRAFT_SUITE_REPS=str(reps))
@@ -219,10 +247,12 @@ def run_child(ncpu: int, reps: int = 2) -> dict:
     if hasattr(os, "sched_getaffinity") and ncpu < len(os.sched_getaffinity(0)):
         cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
     w0 = weather_index()
+    hw = hw_ceiling_probe(ncpu)
     out = subprocess.run(cmd, env=env,
                          capture_output=True, text=True, check=True).stdout
     res = json.loads(out.strip().splitlines()[-1])
     res["weather"] = [w0, weather_index()]
+    res["hw_agg"] = hw
     return res
 
 
@@ -290,10 +320,16 @@ def main():
                 got[n] = run_child(n, reps=1)
             for n in (lo_n, hi_n):
                 samples[n].append(got[n])
+            ceiling = got[hi_n]["hw_agg"] / got[lo_n]["hw_agg"]
+            ratio = got[lo_n]["value"] / got[hi_n]["value"]
             pairs.append({
                 "order": list(order),
                 "sec_lo": got[lo_n]["value"], "sec_hi": got[hi_n]["value"],
-                "suite_ratio": round(got[lo_n]["value"] / got[hi_n]["value"], 3),
+                "suite_ratio": round(ratio, 3),
+                # host-attainable speedup at the same moments (vCPU
+                # overcommit: the 32-leg rarely has 4x the cores)
+                "hw_ceiling_ratio": round(ceiling, 3),
+                "normalized": round(min(ratio / ceiling, 1.0), 3),
                 "stage_ratio": {
                     k: round(got[lo_n]["queries"][k] / got[hi_n]["queries"][k], 3)
                     for k in _SUITE_STAGES if got[hi_n]["queries"][k] > 0.5},
@@ -307,11 +343,16 @@ def main():
         lo = combine_legs(samples[lo_n])
         hi = combine_legs(samples[hi_n])
         eff_min = (hi["images_per_sec"] / lo["images_per_sec"]) / (hi_n / lo_n)
+        norms = sorted(p["normalized"] for p in pairs)
+        med_norm = norms[len(norms) // 2] if len(norms) % 2 else \
+            (norms[len(norms) // 2 - 1] + norms[len(norms) // 2]) / 2
         result = {
             "metric": "scaling efficiency N->4N (median paired ratio / 4)",
             "value": round(eff, 3),
             "unit": "efficiency",
             "pair_ratios": ratios,
+            "normalized_vs_host_ceiling": round(med_norm, 3),
+            "hw_ceiling_ratios": sorted(p["hw_ceiling_ratio"] for p in pairs),
             "eff_min_legs": round(eff_min, 3),
             "images_per_sec_8": lo["images_per_sec"],
             "images_per_sec_32": hi["images_per_sec"],
