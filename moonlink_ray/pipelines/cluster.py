@@ -101,7 +101,8 @@ def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder",
     level; the driver math is unchanged.
     """
     ds = scan(root, columns=["phash", "w", "h"],
-              fragments=snap.fragments if fragments is None else fragments)
+              fragments=snap.fragments if fragments is None else fragments,
+              meta_batch_size=8)
     key_fn = CURVE_KEYS[curve]
 
     def partial(batch: pa.Table) -> pa.Table:
