@@ -188,6 +188,12 @@ def bench_once() -> dict:
         "num_cpus": NCPU,
         "images": suite["images"],
         "images_per_sec": suite["images_per_sec"],
+        # ambient-host telemetry (see BENCH/BASELINE.md): single-core
+        # zlib rate and N-core aggregate at measurement time — the VM's
+        # effective speed swings 2-3x between runs, and without these
+        # a round-over-round wall-clock comparison is uninterpretable
+        "weather": weather_index(),
+        "hw_agg": hw_ceiling_probe(min(NCPU, 32), seconds=2.0),
     }
     ray.shutdown()
     return result
