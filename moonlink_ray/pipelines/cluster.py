@@ -372,17 +372,27 @@ class _BucketSort:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fs = for_root(self.root)
         spill = _spill_dir(self.run_id)
+        zbs = [int(z) for z in batch["zb"].to_pylist()]
+        # one footer parse per spill FILE per task, not per (file,
+        # bucket): with ~100 derive spill files x 128 buckets the naive
+        # per-bucket open costs ~12k footer parses per job — measured
+        # comparable to the codec work itself. Group this task's
+        # buckets by file, read all needed row groups per open.
+        by_file: dict[str, list[tuple[int, int]]] = {}
+        for zb in zbs:
+            for f, rg in self.files.get(zb, []):
+                by_file.setdefault(f, []).append((int(rg), zb))
+        parts_by_zb: dict[int, list[pa.Table]] = {zb: [] for zb in zbs}
+        for f, wants in by_file.items():
+            pf = pq.ParquetFile(fs.full(f"{spill}/{f}"), filesystem=fs.fs)
+            for rg, zb in sorted(wants):
+                parts_by_zb[zb].append(pf.read_row_group(rg))
         metas = []
-        for zb in batch["zb"].to_pylist():
+        for zb in zbs:
             tp = time.perf_counter()
-            files = self.files.get(int(zb), [])
-            if not files:
+            parts = parts_by_zb[zb]
+            if not parts:
                 continue
-            parts = []
-            for f, rg in files:
-                pf = pq.ParquetFile(fs.full(f"{spill}/{f}"),
-                                    filesystem=fs.fs)
-                parts.append(pf.read_row_group(int(rg)))
             t = pa.concat_tables(parts)
             t = t.take(pc.sort_indices(
                 t, sort_keys=[("_zkey", "ascending"), ("_salt", "ascending"),
@@ -549,7 +559,15 @@ def cluster(root: str, *, run_id: str | None = None,
         if spill_rec:
             files_by_bucket = {int(k): v for k, v in spill_rec["files"].items()}
         else:
-            ds = scan(root, fragments=victims, schema_list=snap.schema)
+            # several fragments per derive task: a one-fragment task
+            # (~320 rows) sliced across NB=128 buckets writes ~2.5-row
+            # spill row groups and leaves every bucket task parsing
+            # ~O(fragments) footers — the tiny-read storm measured as
+            # the bucket phase's collapse at high width. 4 fragments
+            # per task => 4x fewer spill files, 4x larger row groups,
+            # bounded task memory (~4 fragments resident).
+            ds = scan(root, fragments=victims, schema_list=snap.schema,
+                      meta_batch_size=4)
             summary = ds.map_batches(
                 _DeriveSpill(root, run_id, boundaries, hot, NB, curve),
                 batch_size=None, batch_format="pyarrow").take_all()
@@ -574,13 +592,21 @@ def cluster(root: str, *, run_id: str | None = None,
         todo = sorted(b for b in files_by_bucket if b not in done_buckets)
         if todo:
             files_ref = ray.put(files_by_bucket)  # broadcast once
+            # bundle a few buckets per task: amortizes spill-footer
+            # parses (one per file per TASK) and task dispatch, while
+            # keeping >= ~2 waves per slot for load balance. Memory per
+            # task stays bounded: bundle x bucket bytes (~bundle x
+            # table_bytes/NB).
+            n_cpus = int(ray.cluster_resources().get("CPU", 4))
+            bundle = max(1, min(4, len(todo) // max(1, 2 * n_cpus)))
             items = rd.from_items([{"zb": b} for b in todo],
-                                  override_num_blocks=len(todo))
+                                  override_num_blocks=max(
+                                      1, len(todo) // bundle))
             rows = items.map_batches(
                 _BucketSort(root, run_id, files_ref, fragment_target_bytes,
                             snap.max_lsn, out_schema.names, sources,
                             snap.schema, reencode_psnr),
-                batch_size=1, batch_format="pyarrow").take_all()
+                batch_size=bundle, batch_format="pyarrow").take_all()
             new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                              for r in rows)
         phase_sec["bucket_sort"] = round(time.perf_counter() - tp, 3)

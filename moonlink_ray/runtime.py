@@ -56,4 +56,19 @@ def tune_allocator() -> bool:
         pa.jemalloc_set_decay_ms(1_000_000)
     except Exception:
         pass
+    try:
+        # Our parallelism is PROCESS-level (one Ray task per core);
+        # Arrow's default per-process pools (cpu = os.cpu_count(),
+        # io = 8) multiply to worker_count x pool_size threads across
+        # the node — 1024 threads at 32 workers — and the bucket-sort
+        # phase (each task: ~100 threaded row-group reads) measured 7x
+        # slower per task at 32-way concurrency than at 8-way purely
+        # from the oversubscription. One compute thread + two IO
+        # threads per worker keeps reads async without the storm.
+        import pyarrow as pa
+        if os.environ.get("MLRAY_THREAD_CAP", "1") == "1":
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
     return True
