@@ -118,16 +118,22 @@ def run_suite(rep: int = 0) -> dict:
 
 def run_legacy_stages() -> dict:
     """Standalone compact and cluster timings (round-over-round
-    continuity with the r01 suite); not part of the headline."""
+    continuity with the r01 suite); not part of the headline. The r01
+    suite ran merge -> compact -> cluster -> expire, so MERGE is applied
+    (untimed here) before the timed stages — the input state (CDC
+    fragments + DVs present) then matches what r01's compact/cluster
+    numbers measured."""
     from moonlink_ray.queries import (_COMPACT_CFG, _fresh_copy,
                                       ensure_images_fixture)
     from moonlink_ray.pipelines.cluster import cluster
     from moonlink_ray.pipelines.compact import compact
+    from moonlink_ray.pipelines.merge import merge
     from moonlink_ray.sources.scan import scan
 
     fix = ensure_images_fixture(SF_DIR)
     root = _fresh_copy(fix, f"legacy{NCPU}")
     scan(root, columns=["image_id", "phash"]).count()
+    merge(root, fix["cdc"])  # untimed: establishes the r01 input state
     out = {}
     t = time.perf_counter()
     compact(root, cfg=_COMPACT_CFG)

@@ -21,13 +21,16 @@ Everything flows through ``ray.data.Dataset`` with zero-copy Arrow batches.
 
 __version__ = "0.1.0"
 
-# Optional cap for Arrow's internal thread pools (MLRAY_ARROW_CPUS=n).
-# Ray pins OMP_NUM_THREADS=1 per worker but Arrow's compute/IO pools
-# default to os.cpu_count(); on a machine shared beyond the Ray session
-# that can leak parallelism. Default: uncapped — the scaling bench pins
-# each parallelism level to a physical core set with sched_setaffinity
-# instead (bench.py run_child), which bounds ALL thread pools honestly
-# and lets exchange-heavy stages use intra-task Arrow threads.
+# Optional explicit cap for Arrow's internal thread pools
+# (MLRAY_ARROW_CPUS=n). Ray pins OMP_NUM_THREADS=1 per worker but
+# Arrow's compute/IO pools default to os.cpu_count(). Default when
+# unset: runtime.tune_allocator caps every process to 1 compute + 2 IO
+# Arrow threads (parallelism here is process-level — one Ray task per
+# core; uncapped pools measured a 7x per-task slowdown in the
+# bucket-sort phase at 32-way concurrency from thread oversubscription).
+# Setting MLRAY_ARROW_CPUS>0 replaces that default with the given width
+# and suppresses the tune_allocator cap (the explicit knob wins);
+# MLRAY_THREAD_CAP=0 disables the default cap without setting one.
 import os as _os
 
 _arrow_cap = int(_os.environ.get("MLRAY_ARROW_CPUS", "0"))

@@ -167,6 +167,11 @@ def main(argv=None):
     elif args.cmd == "config":
         from .table_config import load_table_config, set_table_config
         if getattr(args, "set"):
+            bad = [a for a in getattr(args, "set") if "=" not in a]
+            if bad:
+                raise SystemExit(
+                    f"engine config --set: expected section.key=value, got "
+                    f"{bad[0]!r}")
             assigns = dict(a.split("=", 1) for a in getattr(args, "set"))
             tc = set_table_config(args.root, assigns)
         else:

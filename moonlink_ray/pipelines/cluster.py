@@ -491,7 +491,7 @@ def cluster(root: str, *, run_id: str | None = None,
             # resume must rewrite the pinned victim set, not a fresh
             # selection over the same snapshot (identical today, but
             # pinning removes the coupling)
-            by_id = snap.frag_by_id
+            by_id = snap.frag_by_id()
             victims = [by_id[i] for i in params["victims"]]
             victim_ids = set(params["victims"])
             retained = [f for f in snap.fragments

@@ -38,31 +38,55 @@ from .merge import merge
 _CURSOR = "follow.cursor.json"
 
 
-def _read_cursor(tfs: TableFS) -> set[str]:
+class OutOfOrderCdcFile(RuntimeError):
+    """A CDC file sorted BEFORE an already-applied file appeared late.
+
+    The follow contract is sorted-filename order == producer LSN order
+    (the object-store handoff convention). If a producer violates it,
+    merge's floor-LSN rule (ops with lsn <= snapshot.max_lsn are
+    discarded) would silently drop every op of the late file — permanent
+    data loss. Fail loudly instead; the operator must replay the file
+    with fresh LSNs (or bump its name past the cursor's high-water mark).
+    """
+
+
+def _read_cursor(tfs: TableFS) -> tuple[set[str], str]:
     if not tfs.exists(_CURSOR):
-        return set()
-    return set(json.loads(tfs.read_text(_CURSOR)).get("applied", []))
+        return set(), ""
+    d = json.loads(tfs.read_text(_CURSOR))
+    applied = set(d.get("applied", []))
+    return applied, d.get("max_applied", max(applied, default=""))
 
 
 def _write_cursor(tfs: TableFS, applied: set[str]) -> None:
     tfs.write_text_atomic(_CURSOR, json.dumps(
-        {"applied": sorted(applied)}, indent=1))
+        {"applied": sorted(applied),
+         "max_applied": max(applied, default="")}, indent=1))
 
 
 def poll_once(root: str, cdc_dir: str, *, run_id: str | None = None,
               num_buckets: int | None = None) -> tuple[Snapshot | None, int]:
     """Apply any unapplied CDC files; returns (snapshot, files_applied).
 
-    snapshot is None when the poll found nothing new.
+    snapshot is None when the poll found nothing new. Raises
+    OutOfOrderCdcFile if a new file sorts before the newest applied
+    name (see the exception docstring — silently merging it would lose
+    its ops to the floor-LSN discard).
     """
     import os
 
     tfs = TableFS.for_root(root)
-    applied = _read_cursor(tfs)
+    applied, max_applied = _read_cursor(tfs)
     names = sorted(n for n in os.listdir(cdc_dir)
                    if n.endswith(".parquet") and n not in applied)
     if not names:
         return None, 0
+    if max_applied and names[0] < max_applied:
+        late = [n for n in names if n < max_applied]
+        raise OutOfOrderCdcFile(
+            f"CDC file(s) {late} sort before already-applied "
+            f"{max_applied!r}; their ops would be silently discarded by "
+            f"the floor-LSN rule. Replay them with fresh LSNs/names.")
     snap = merge(root, [os.path.join(cdc_dir, n) for n in names],
                  run_id=run_id, num_buckets=num_buckets)
     _write_cursor(tfs, applied | set(names))

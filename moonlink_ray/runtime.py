@@ -65,8 +65,12 @@ def tune_allocator() -> bool:
         # slower per task at 32-way concurrency than at 8-way purely
         # from the oversubscription. One compute thread + two IO
         # threads per worker keeps reads async without the storm.
+        # MLRAY_ARROW_CPUS (an explicit user cap, applied in __init__)
+        # wins over this default: the two knobs configure the same pools
+        # and the explicit one must not be silently overridden here.
         import pyarrow as pa
-        if os.environ.get("MLRAY_THREAD_CAP", "1") == "1":
+        if (os.environ.get("MLRAY_THREAD_CAP", "1") == "1"
+                and int(os.environ.get("MLRAY_ARROW_CPUS", "0")) <= 0):
             pa.set_cpu_count(1)
             pa.set_io_thread_count(2)
     except Exception:

@@ -83,3 +83,28 @@ class TestFollow:
         snap3, n3 = poll_once(root, cdc_dir)
         assert n3 == 2
         assert snap3.version == v  # unchanged manifest, no new version
+
+    def test_out_of_order_late_file_fails_loudly(self, tmp_path):
+        """A CDC file that sorts BEFORE an already-applied name must
+        raise, not silently lose its ops to the floor-LSN discard."""
+        from moonlink_ray.pipelines.follow import OutOfOrderCdcFile
+
+        root = str(tmp_path / "t")
+        bootstrap_images_table(root, 120, rows_per_fragment=32)
+        cdc = str(tmp_path / "cdc.parquet")
+        write_cdc_parquet(cdc, n_base=120, n_ops=40)
+        cdc_dir = str(tmp_path / "incoming")
+        paths = _split_cdc(cdc, cdc_dir, parts=2)
+
+        # hold back the FIRST file; apply only the second
+        held = paths[0] + ".hold"
+        os.rename(paths[0], held)
+        snap, n = poll_once(root, cdc_dir)
+        assert n == 1
+        v = snap.version
+
+        # the earlier-named file lands late: loud failure, no commit
+        os.rename(held, paths[0])
+        with pytest.raises(OutOfOrderCdcFile):
+            poll_once(root, cdc_dir)
+        assert load(root).version == v

@@ -188,3 +188,45 @@ def test_cluster_plasma_resume_skips_done_buckets(tmp_path):
     assert _frag_set(snap_a) == _frag_set(snap_b)
     assert scan_arrow(a, sort_by="image_id").equals(
         scan_arrow(b, sort_by="image_id"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_optimize_resume_pinned_victims(tmp_path):
+    """Resume of an incremental OPTIMIZE whose pinned params carry a
+    victims list (the cluster.py frag_by_id resume branch): seed the
+    pinned plan + half the finished bucket checkpoints from a completed
+    run, re-invoke with the same run_id, and require the identical final
+    manifest. Regression test for the method-not-called bug that made
+    this exact path raise TypeError."""
+    from moonlink_ray.manifest import write_lineage
+    from moonlink_ray.pipelines.compact import CompactionConfig
+    from moonlink_ray.pipelines.optimize import optimize
+
+    cfg = CompactionConfig(min_victims=1,
+                           output_target_bytes=512 * 1024)
+    a = str(tmp_path / "a")
+    bootstrap_images_table(a, 200, rows_per_fragment=32)
+    b = str(tmp_path / "b")
+    shutil.copytree(a, b)
+
+    snap_a = optimize(a, run_id="oincr", mode="incremental", cfg=cfg,
+                      num_buckets=8)
+    assert snap_a is not None
+    done = read_lineage(a, "oincr")
+    assert done["params"].get("victims"), "incremental run must pin victims"
+
+    # seed b as a kill after the plan + a few buckets would leave it
+    write_lineage(b, "oincr", "params", done["params"])
+    seeded = [k for k in sorted(done) if k.startswith("zb-")][:2]
+    for k in seeded:
+        write_lineage(b, "oincr", k, done[k])
+        for fm in done[k]["fragments"]:
+            shutil.copyfile(os.path.join(a, fm["path"]),
+                            os.path.join(b, fm["path"]))
+
+    snap_b = optimize(b, run_id="oincr", mode="incremental", cfg=cfg,
+                      num_buckets=8)
+    assert snap_b is not None
+    assert _frag_set(snap_a) == _frag_set(snap_b)
+    assert scan_arrow(a, sort_by="image_id").equals(
+        scan_arrow(b, sort_by="image_id"))
