@@ -13,6 +13,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine follow   --root T --cdc-dir D  # tail CDC dir
     python -m moonlink_ray.engine expire   --root T --keep-last 2
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
+    python -m moonlink_ray.engine scan-manifest --root T [--snapshot V | --at-lsn L]
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
     python -m moonlink_ray.engine status   --root T
     python -m moonlink_ray.engine config   --root T [--set compaction.small_file_bytes=8388608]
@@ -79,6 +80,10 @@ def main(argv=None):
     s.add_argument("--at-lsn", type=int, default=None,
                    help="read table state as of this replication LSN")
     s.add_argument("--out", required=True)
+    s = add("scan-manifest")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--at-lsn", type=int, default=None,
+                   help="describe table state as of this replication LSN")
     s = add("alter")
     s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
                    help="columns to add, e.g. tag:string score:float64")
@@ -182,6 +187,10 @@ def main(argv=None):
         ds = scan(args.root, version=args.snapshot, at_lsn=args.at_lsn)
         ds.write_parquet(args.out)
         out = {"rows": ds.count(), "out": args.out}
+    elif args.cmd == "scan-manifest":
+        from .sources.scan import scan_manifest
+        out = scan_manifest(args.root, version=args.snapshot,
+                            at_lsn=args.at_lsn)
     elif args.cmd == "alter":
         from .schema import alter_table, table_schema
         adds = [tuple(a.split(":", 1)) for a in args.add]

@@ -17,9 +17,11 @@ through):
   with no shared driver state;
 - atomic publication: on a local fs, write-temp-then-rename; on an
   object store a single PUT is already atomic, so the temp dance is
-  skipped (the version-hint race across *concurrent writers* would need
-  a conditional put — out of scope for the single-writer driver, same
-  as moonlink's single event loop per table);
+  skipped;
+- concurrent-writer safety: ``create_exclusive`` is the conditional put
+  of the commit protocol (exactly one committer creates each snapshot
+  file; see manifest.commit) — the analog of moonlink's etag-conditional
+  ``version-hint.text`` write (``iceberg/file_catalog.rs:259-280``);
 - ``ChaosFS`` wraps any backend with seeded fault injection on mutating
   ops (mirrors moonlink's chaos accessor wrapper) — used by the chaos
   tests to prove kill-resume semantics under storage failures.
@@ -37,6 +39,12 @@ import pyarrow.fs as pafs
 import pyarrow.parquet as pq
 
 _MOCK_FS: dict[str, "pafs.FileSystem"] = {}  # name -> shared in-memory fs
+
+# serializes create_exclusive on non-local backends lacking a native
+# conditional put (the in-process mock fs; see create_exclusive)
+import threading as _threading
+
+_MOCK_LOCK = _threading.Lock()
 
 
 def _split_scheme(root: str) -> tuple[str, str]:
@@ -98,6 +106,48 @@ class TableFS:
         with self.fs.open_output_stream(tmp) as f:
             f.write(data.encode())
         self.fs.move(tmp, path)
+
+    def create_exclusive(self, rel: str, data: str) -> bool:
+        """Create-if-absent (compare-and-swap on existence): write
+        ``data`` to ``rel`` iff no file exists there; returns whether
+        this caller won. The commit protocol's conditional put — the
+        analog of moonlink's etag-conditional ``version-hint.text``
+        write (``/root/reference/src/moonlink/src/storage/iceberg/
+        file_catalog.rs:259-280,746-769``), applied here to the
+        immutable snapshot file (exactly one committer can create
+        ``snapshots/v{N}.json``).
+
+        - local fs: write a temp file, then ``os.link`` it into place —
+          link(2) fails atomically with EEXIST if the target exists, the
+          POSIX exclusive-create primitive;
+        - mock fs (in-process): a per-instance lock around
+          check-then-write;
+        - real object stores: pyarrow's S3/GCS filesystems expose no
+          conditional PUT, so this degrades to check-then-write — the
+          narrow TOCTOU there needs the backend's native conditional
+          write (S3 If-None-Match / GCS ifGenerationMatch), which is the
+          documented integration point; single-writer deployments are
+          unaffected.
+        """
+        path = self.full(rel)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            import os
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(data)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
+        with _MOCK_LOCK:
+            if self.exists(rel):
+                return False
+            with self.fs.open_output_stream(path) as f:
+                f.write(data.encode())
+            return True
 
     def read_json(self, rel: str) -> dict:
         return json.loads(self.read_text(rel))
@@ -181,6 +231,10 @@ class ChaosFS(TableFS):
     def write_text_atomic(self, rel, data):
         self._maybe_fail(f"write_text {rel}")
         return super().write_text_atomic(rel, data)
+
+    def create_exclusive(self, rel, data):
+        self._maybe_fail(f"create_exclusive {rel}")
+        return super().create_exclusive(rel, data)
 
     def write_parquet_atomic(self, table, rel, **kw):
         self._maybe_fail(f"write_parquet {rel}")

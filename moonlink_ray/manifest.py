@@ -111,7 +111,17 @@ def init_table(root: str) -> Snapshot:
 
 
 def current_version(root: str) -> int:
-    return int(for_root(root).read_text(VERSION_HINT).strip())
+    """Newest committed version. ``version-hint.text`` is a HINT (the
+    Iceberg file-catalog pattern, ``file_catalog.rs:695-770``): commit
+    makes the snapshot file itself the linearization point (exclusive
+    create), so if a committer dies between snapshot create and hint
+    swap — or a slow hint write lands late — the hint can trail; probe
+    forward over existing snapshot files to self-heal."""
+    fs = for_root(root)
+    v = int(fs.read_text(VERSION_HINT).strip())
+    while fs.exists(f"snapshots/v{v + 1}.json"):
+        v += 1
+    return v
 
 
 def load(root: str, version: int | None = None) -> Snapshot:
@@ -158,9 +168,13 @@ def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
            schema=_INHERIT) -> Snapshot:
     """Write snapshot v{N+1} and atomically swap the pointer.
 
-    ``expected_parent`` implements the conditional-put check of
-    moonlink's file catalog (``file_catalog.rs:259-280``): the commit
-    fails rather than clobbering a concurrent writer's snapshot.
+    Concurrent-writer safety (moonlink's etag-conditional commit,
+    ``file_catalog.rs:259-280,746-769``): the snapshot file itself is
+    the linearization point — it is published with a conditional put
+    (``TableFS.create_exclusive``), so when two committers race from
+    the same parent exactly one creates ``v{N+1}.json`` and the other
+    gets ``CommitConflict``. ``expected_parent`` additionally rejects a
+    commit whose in-memory plan is based on a stale snapshot.
     ``schema`` defaults to inheriting the parent snapshot's schema, so
     maintenance commits carry an ALTERed schema forward automatically.
     """
@@ -182,9 +196,9 @@ def commit(root: str, fragments: list[FragmentMeta], *, max_lsn: int,
                       **job.get("metrics", {})}
     snap.job = job
     snap_rel = f"snapshots/v{new_version}.json"
-    if fs.exists(snap_rel):
-        raise CommitConflict(f"snapshot v{new_version} already exists")
-    fs.write_text_atomic(snap_rel, snap.to_json())
+    if not fs.create_exclusive(snap_rel, snap.to_json()):
+        raise CommitConflict(
+            f"snapshot v{new_version} already exists (concurrent commit)")
     fs.write_text_atomic(VERSION_HINT, str(new_version))
     return snap
 

@@ -3,24 +3,45 @@
 Moonlink resolves each CDC op with a point index probe because it is
 latency-driven streaming (``MemIndex.find_record`` / ``GlobalIndex.
 search_values``, ``/root/reference/src/moonlink/src/storage/index/``).
-In batch form the same semantics become a shuffle + two cheap column-
-pruned passes — no persisted index at all:
+In batch form the same semantics become a shuffle + column-pruned
+passes — no persisted index at all:
 
-1. **Fold** (new versions): hash-bucket the CDC rows on ``image_id``
-   (stable hash, B buckets), ``groupby(_bucket).map_groups`` an
-   LSN-ordered fold per bucket that applies ops in ``(lsn, seq,
-   delete-before-insert)`` order and writes the surviving row versions
-   as new fragments. One ``map_groups`` call == one partition == one
-   lineage checkpoint, so a killed run resumes bucket-by-bucket.
-2. **Tombstone** (old versions): every CDC key with an upsert or delete
-   must kill the base copy. Fragments are pruned by min/max zone maps
-   against the sorted tombstone key set (the batch analog of moonlink's
-   file-index probe), then a per-fragment task reads *only* the
-   ``image_id`` column, matches positions, and writes a new cumulative
-   deletion-vector sidecar (copy-on-write, mirroring the cumulative DV
-   puffin per commit, ``iceberg/iceberg_table_syncer.rs:313-348``).
-3. **Commit**: untouched fragments carry over unchanged; a new manifest
+1. **Tombstone shards** (distributed, column-pruned): one pass over the
+   CDC batch reads only the key columns + ``(_op, _lsn)``, drops stale
+   ops, and writes the upsert/delete key set as RANGE-SHARDED sorted
+   sidecar files (shard boundaries derived from the base fragments'
+   zone-map minima, shard-aligned row groups, one spill file per task).
+   The pass also returns the CDC aggregates (fresh-op count, max LSN),
+   so the driver never materializes the key set — its state is
+   O(shards), not O(CDC).
+2. **Fold** (new versions): hash-bucket the CDC rows on the canonical
+   identity key (stable hash, B buckets), ``groupby(_bucket).
+   map_groups`` an LSN-ordered fold per bucket that applies ops in
+   ``(lsn, seq, delete-before-insert)`` order and writes the surviving
+   row versions as new fragments. The fold itself is exact vectorized
+   index math (see ``_fold_bucket``) — no per-row Python loop. One
+   ``map_groups`` call == one partition == one lineage checkpoint, so a
+   killed run resumes bucket-by-bucket.
+3. **DV update** (old versions): fragments are pruned by key zone maps
+   against the nonempty tombstone shard ranges (the batch analog of
+   moonlink's file-index probe), then a per-fragment task reads *only*
+   the key columns plus exactly the overlapping shard files, matches
+   positions, and writes a new cumulative deletion-vector sidecar
+   (copy-on-write, mirroring the cumulative DV puffin per commit,
+   ``iceberg/iceberg_table_syncer.rs:313-348``). A fragment whose keys
+   match nothing keeps its existing meta untouched.
+4. **Commit**: untouched fragments carry over unchanged; a new manifest
    version is swapped in atomically.
+
+Row identity (``IdentityProp``, ``row/moonlink_row.rs:270-350``): the
+table's config declares ``identity.key_columns`` — one column
+(SinglePrimitiveKey analog; default ``image_id``) or several (the
+``Keys(vec)`` composite mode; canonical key = separator-joined string
+casts, ``stages/keys.canonical_keys``). Known simplification vs
+moonlink: base fragments hold at most one copy per key (bootstrap +
+MERGE maintain this), so a tombstone kills all base positions of its
+key; FullRow duplicate identity (``moonlink_row.rs:343-349``) is out of
+scope for keyed tables.
 
 Semantics preserved (SURVEY.md §2.4):
 - upsert = delete-if-exists + append at one LSN
@@ -39,17 +60,14 @@ Semantics preserved (SURVEY.md §2.4):
   identical manifest (mirrors ``table_handler.rs:778-784`` and
   test_discard_duplicate_writes, ``table_handler/tests.rs:1626``).
 
-Scale notes (100 TB design): the CDC *key set* (not the rows) is
-collected to the driver and broadcast via ``ray.put`` — a
-broadcast-semi-join that avoids shuffling the base table entirely; base
-fragments are never rewritten (DV-only), so write amplification is
-O(CDC) not O(base). If the CDC key set outgrew driver memory, step 2
-would switch to a key-range-sharded broadcast (one key shard per
-fragment range); the zone-map pruning already partitions that way.
-Known simplification vs moonlink: base fragments hold at most one copy
-per key (bootstrap + MERGE maintain this), so a tombstone kills all base
-positions of its key; FullRow duplicate identity (``moonlink_row.rs:
-343-349``) is out of scope for the image_id-keyed table.
+Scale notes (100 TB design): nothing in this job materializes O(CDC) or
+O(base) state on the driver — the tombstone key set lives in
+range-sharded files on the table's own filesystem, the fold shuffles
+only CDC rows, base fragments are never rewritten (DV-only, write
+amplification O(CDC)), and every wide stage checkpoints per partition.
+DV tasks read only the shard files overlapping their fragment's key
+range, so per-task tombstone bytes scale with the fragment's share of
+the key domain, not with the CDC batch.
 """
 
 from __future__ import annotations
@@ -64,49 +82,89 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..fragments import read_fragment, write_dv, write_fragment
+from ..fs import for_root
 from ..manifest import (FragmentMeta, Snapshot, load, commit, read_lineage,
                         write_lineage)
-from ..stages.keys import bucket_of, stable_hash_strings
+from ..stages.keys import bucket_of, canonical_keys, key_codes
 from ..synth import IMAGES_SCHEMA
 
-_OP_RANK = {"delete": 0, "insert": 1, "upsert": 1}
 # target bytes of image payload per output fragment chunk
 _FRAGMENT_BYTES = 64 * 1024 * 1024
+# cap on tombstone range shards; at this cap a DV task over a fragment
+# spanning 1/Nth of the key domain reads ~max(1, shards/N) shard files
+_MAX_TOMB_SHARDS = 256
 
 
-def _fold_bucket(group: pa.Table) -> tuple[np.ndarray, int]:
+def _fold_bucket(group: pa.Table,
+                 key_columns: tuple | list = ("image_id",)
+                 ) -> tuple[np.ndarray, int]:
     """Apply a bucket's ops in total order; return surviving row indices
     (into ``group``) and the max LSN applied.
 
-    Pure index manipulation — image bytes are never materialized as
-    Python objects; survivors are taken zero-copy at the end.
+    Exact vectorized simulation of the per-key FIFO version queue
+    (numpy only — no per-op Python loop; measured ~40x over the loop
+    form on a 1M-op bucket):
+
+    - total op order within a key is ``(lsn, seq, delete-before-add)``;
+    - each op expands to events: insert -> [add], delete -> [pop],
+      upsert -> [pop, add] (delete-if-exists then append at one LSN);
+    - a pop consumes the EARLIEST live version of its key, and misses
+      (no-op) when none is live — base-table copies are handled by the
+      separate tombstone pass, never here;
+    - within one key the events' +1/-1 prefix sums form a walk
+      reflected at zero: the number of missed pops is the depth of the
+      plain walk's most negative prefix (each miss lifts the reflected
+      trajectory by exactly one at a new prefix minimum), so successful
+      pops s = pops - max(0, -min_prefix);
+    - successful pops always consume the earliest unconsumed add, and
+      adds arrive in order, so the consumed adds are exactly the FIRST
+      s adds of the key: survivors = every add with per-key add rank
+      >= s.
     """
+    n = group.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64), -1
     lsn = group["_lsn"].to_numpy(zero_copy_only=False)
     seq = group["_seq"].to_numpy(zero_copy_only=False)
-    ops = group["_op"].to_numpy(zero_copy_only=False)
-    keys = group["image_id"].to_numpy(zero_copy_only=False)
-    rank = np.array([_OP_RANK[o] for o in ops], dtype=np.int8)
-    order = np.lexsort((rank, seq, lsn))
+    # all string work stays in Arrow kernels: op masks via pc.equal,
+    # key grouping via dictionary encode (key_codes) — no object-array
+    # sorts or elementwise Python compares in the hot path
+    is_del_all = pc.equal(group["_op"], pa.scalar("delete")) \
+        .to_numpy(zero_copy_only=False)
+    is_up_all = pc.equal(group["_op"], pa.scalar("upsert")) \
+        .to_numpy(zero_copy_only=False)
+    rank = np.where(is_del_all, 0, 1).astype(np.int8)
+    kcode = key_codes(group, list(key_columns))
+    order = np.lexsort((rank, seq, lsn, kcode))  # key-major, then time
 
-    pending: dict[str, list[int]] = {}
-    for idx in order:
-        op = ops[idx]
-        k = keys[idx]
-        lst = pending.get(k)
-        if op == "insert":
-            pending.setdefault(k, []).append(idx)
-        elif op == "upsert":
-            if lst:
-                lst.pop(0)  # delete-if-exists kills one pending version...
-            # ...else it falls through to the base copy (tombstone pass)
-            pending.setdefault(k, []).append(idx)
-        else:  # delete
-            if lst:
-                lst.pop(0)
-            # else: falls through to base (or is a no-op on miss)
-    survivors = sorted(i for lst in pending.values() for i in lst)
-    max_lsn = int(lsn.max()) if len(lsn) else -1
-    return np.asarray(survivors, dtype=np.int64), max_lsn
+    kcode_o = kcode[order]
+    is_up = is_up_all[order]
+    is_del = is_del_all[order]
+    n_ev = 1 + is_up.astype(np.int64)           # upsert = pop + add
+    ev_total = int(n_ev.sum())
+    starts = np.cumsum(n_ev) - n_ev             # first event of each op
+    delta = np.ones(ev_total, dtype=np.int64)   # add = +1
+    delta[starts[is_del]] = -1                  # delete = pop
+    delta[starts[is_up]] = -1                   # upsert's first event = pop
+    ev_op = np.repeat(np.arange(n, dtype=np.int64), n_ev)
+    ev_key = kcode_o[ev_op]
+
+    seg_starts = np.flatnonzero(np.r_[True, ev_key[1:] != ev_key[:-1]])
+    seg_lens = np.diff(np.r_[seg_starts, ev_total])
+    g = np.cumsum(delta)
+    offsets = np.r_[0, g[seg_starts[1:] - 1]]
+    within = g - np.repeat(offsets, seg_lens)   # per-key prefix sums
+    min_prefix = np.minimum.reduceat(within, seg_starts)
+    pops = np.add.reduceat((delta == -1).astype(np.int64), seg_starts)
+    s = pops - np.maximum(0, -min_prefix)       # successful pops per key
+
+    is_add = delta == 1
+    add_cum = np.cumsum(is_add)
+    add_before = np.r_[0, add_cum[seg_starts[1:] - 1]]
+    add_rank = add_cum - np.repeat(add_before, seg_lens) - 1
+    keep = is_add & (add_rank >= np.repeat(s, seg_lens))
+    survivors = np.sort(order[ev_op[keep]])
+    return survivors, int(lsn.max())
 
 
 def _chunk_by_bytes(table: pa.Table, target: int) -> list[pa.Table]:
@@ -131,12 +189,14 @@ class _BucketMerge:
     write + lineage checkpoint. Returns one meta row per written fragment."""
 
     def __init__(self, root: str, run_id: str, min_lsn_exclusive: int,
-                 schema_list: list | None = None):
+                 schema_list: list | None = None,
+                 key_columns: tuple | list = ("image_id",)):
         from ..schema import schema_from_list
         self.root = root
         self.run_id = run_id
         self.min_lsn = min_lsn_exclusive
         self.schema = schema_from_list(schema_list) or IMAGES_SCHEMA
+        self.key_columns = tuple(key_columns)
         self.__name__ = "BucketMerge"  # map_groups wraps fn by name
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -144,7 +204,7 @@ class _BucketMerge:
         tp = time.perf_counter()
         bucket = int(group["_bucket"][0].as_py())
         part_key = f"bucket-{bucket:05d}"
-        survivors, max_lsn = _fold_bucket(group)
+        survivors, max_lsn = _fold_bucket(group, self.key_columns)
         out = None
         if len(survivors):
             # conform to the table's ACTIVE schema: columns ALTERed in
@@ -167,39 +227,231 @@ class _BucketMerge:
                                           pa.string())})
 
 
-class _DVUpdate:
-    """map_batches callable over affected-fragment metas (batch_size=1):
-    read only image_id, match tombstone keys, write a new cumulative DV."""
+# -------------------------------------------------- tombstone shard pass
 
-    def __init__(self, root: str, run_id: str, keys_ref):
+def _tomb_dir(run_id: str) -> str:
+    return f"tmp/merge-{run_id}/tomb"
+
+
+def _shard_cuts(snap: Snapshot, key0: str,
+                max_shards: int = _MAX_TOMB_SHARDS) -> list:
+    """Range-shard boundaries for the tombstone key set, derived from
+    the base fragments' zone-map minima on the first key column (pure
+    manifest metadata — no data read). Shard i holds first-column
+    values in [cuts[i-1], cuts[i]); the resulting shards align with the
+    fragment layout, so a DV task's fragment overlaps few shards."""
+    mins = sorted({f.stats[key0][0] for f in snap.fragments
+                   if f.stats.get(key0) and f.rows > 0})
+    if len(mins) <= 1:
+        return []
+    step = max(1, -(-len(mins) // max_shards))  # ceil
+    return mins[step::step]
+
+
+class _TombstoneShardWriter:
+    """map_batches task over the column-pruned CDC read: drop stale ops,
+    compute the batch's aggregates, and append ONE spill file with a
+    shard-aligned row group per range shard it touches (same layout as
+    the cluster exchange's spill). Returns summary rows; only files
+    reported by the completed run are ever read back, so a retried
+    task's orphan files are inert."""
+
+    _SUMMARY = pa.schema([
+        ("kind", pa.int8()),      # 0 = shard row group, 1 = aggregates
+        ("shard", pa.int64()),
+        ("file", pa.string()),
+        ("rg", pa.int64()),
+        ("count", pa.int64()),
+        ("k0_min", pa.string()),
+        ("k0_max", pa.string()),
+        ("n_fresh", pa.int64()),
+        ("max_lsn", pa.int64()),
+    ])
+
+    def __init__(self, root: str, run_id: str, cuts: list,
+                 key_columns: tuple, floor_lsn: int):
         self.root = root
         self.run_id = run_id
-        self.keys_ref = keys_ref
-        self._keys = None  # sorted np array, fetched once per worker
-
-    def _tombstones(self) -> np.ndarray:
-        if self._keys is None:
-            import ray
-            self._keys = ray.get(self.keys_ref)
-        return self._keys
+        self.cuts = list(cuts)
+        self.key_columns = tuple(key_columns)
+        self.floor = floor_lsn
+        self.__name__ = "TombstoneShardWriter"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = self._tombstones()
+        import pyarrow.parquet as pq
+
+        fresh = batch.filter(
+            pc.greater(batch["_lsn"], pa.scalar(self.floor, pa.int64())))
+        n_fresh = fresh.num_rows
+        max_lsn = (int(pc.max(fresh["_lsn"]).as_py()) if n_fresh
+                   else self.floor)
+        rows = {name: [] for name in self._SUMMARY.names}
+
+        def emit(kind, shard=-1, file="", rg=-1, count=0,
+                 k0_min="", k0_max="", nf=0, ml=None):
+            rows["kind"].append(kind)
+            rows["shard"].append(shard)
+            rows["file"].append(file)
+            rows["rg"].append(rg)
+            rows["count"].append(count)
+            rows["k0_min"].append(k0_min)
+            rows["k0_max"].append(k0_max)
+            rows["n_fresh"].append(nf)
+            rows["max_lsn"].append(self.floor if ml is None else ml)
+
+        emit(1, nf=n_fresh, ml=max_lsn)
+        tomb = fresh.filter(pc.not_equal(fresh["_op"], pa.scalar("insert")))
+        if tomb.num_rows:
+            keys = canonical_keys(tomb, list(self.key_columns))
+            k0 = tomb[self.key_columns[0]].to_numpy(zero_copy_only=False)
+            keys, first_idx = np.unique(keys, return_index=True)
+            k0 = k0[first_idx]
+            shard = (np.searchsorted(self.cuts, k0, side="right")
+                     if self.cuts else np.zeros(len(k0), dtype=np.int64))
+            order = np.argsort(shard, kind="stable")
+            keys, k0, shard = keys[order], k0[order], shard[order]
+            bounds = np.flatnonzero(np.diff(shard)) + 1
+            starts = np.concatenate([[0], bounds])
+            stops = np.concatenate([bounds, [len(shard)]])
+            fs = for_root(self.root)
+            d = _tomb_dir(self.run_id)
+            fs.makedirs(d)
+            rel = f"{uuid.uuid4().hex[:12]}.parquet"
+            full = fs.full(f"{d}/{rel}")
+            schema = pa.schema([("key", pa.string())])
+            writer = pq.ParquetWriter(full + ".tmp", schema,
+                                      compression="snappy", filesystem=fs.fs)
+            try:
+                for rg, (s, e) in enumerate(zip(starts, stops)):
+                    ks = np.sort(keys[s:e])  # canonical order within shard
+                    writer.write_table(
+                        pa.table({"key": pa.array(ks, pa.string())},
+                                 schema=schema),
+                        row_group_size=e - s)
+                    emit(0, shard=int(shard[s]), file=rel, rg=rg,
+                         count=int(e - s), k0_min=str(min(k0[s:e])),
+                         k0_max=str(max(k0[s:e])))
+            finally:
+                writer.close()
+            fs.fs.move(full + ".tmp", full)
+        return pa.table(
+            {k: pa.array(v, self._SUMMARY.field(k).type)
+             for k, v in rows.items()}, schema=self._SUMMARY)
+
+
+def _tombstone_pass(root: str, run_id: str, snap: Snapshot,
+                    cdc_paths: list[str], key_columns: tuple,
+                    floor_lsn: int, done: dict, cdc_ds=None) -> dict:
+    """Run (or resume) the tombstone shard pass; returns the lineage
+    record {files: {shard: [[file, rg], ...]}, ranges: {shard: [lo, hi]},
+    n_fresh, max_lsn, tombstones}. ``cdc_ds`` (a pre-built column-pruned
+    Dataset over the CDC paths) lets the caller construct all datasets
+    on one thread (see merge: read_parquet construction is not
+    thread-safe against a concurrent read_parquet)."""
+    import ray.data as rd
+
+    rec = done.get("tombstones")
+    if rec:
+        return rec
+    key0 = key_columns[0]
+    cuts = _shard_cuts(snap, key0)
+    cdc = cdc_ds if cdc_ds is not None else rd.read_parquet(
+        cdc_paths, columns=sorted(set(key_columns)) + ["_op", "_lsn"])
+    summary = cdc.map_batches(
+        _TombstoneShardWriter(root, run_id, cuts, key_columns, floor_lsn),
+        batch_format="pyarrow").take_all()
+    files: dict[str, list] = {}
+    ranges: dict[str, list] = {}
+    n_fresh = 0
+    max_lsn = floor_lsn
+    tomb_rows = 0
+    for r in summary:
+        if r["kind"] == 1:
+            n_fresh += int(r["n_fresh"])
+            max_lsn = max(max_lsn, int(r["max_lsn"]))
+            continue
+        s = str(int(r["shard"]))
+        files.setdefault(s, []).append([r["file"], int(r["rg"])])
+        tomb_rows += int(r["count"])
+        rng = ranges.get(s)
+        if rng is None:
+            ranges[s] = [r["k0_min"], r["k0_max"]]
+        else:
+            rng[0] = min(rng[0], r["k0_min"])
+            rng[1] = max(rng[1], r["k0_max"])
+    rec = {"kind": "merge-tombstones", "files": {k: sorted(v)
+                                                 for k, v in files.items()},
+           "ranges": ranges, "n_fresh": n_fresh, "max_lsn": max_lsn,
+           "tombstones": tomb_rows}
+    write_lineage(root, run_id, "tombstones", rec)
+    return rec
+
+
+class _DVUpdate:
+    """map_batches callable over affected-fragment metas (batch_size=1):
+    read only the key columns, match the overlapping tombstone shards,
+    write a new cumulative DV (or keep the meta untouched on no hits)."""
+
+    def __init__(self, root: str, run_id: str, files_ref,
+                 key_columns: tuple):
+        self.root = root
+        self.run_id = run_id
+        self.files_ref = files_ref
+        self.key_columns = tuple(key_columns)
+        self._files = None   # {shard: [[file, rg], ...]}, fetched once
+        self._rg_cache: dict = {}
+
+    def _shard_files(self) -> dict:
+        if self._files is None:
+            import ray
+            self._files = (ray.get(self.files_ref)
+                           if hasattr(self.files_ref, "hex")
+                           else self.files_ref)
+        return self._files
+
+    def _keys_for(self, shards: list[str]) -> np.ndarray:
+        import pyarrow.parquet as pq
+        fs = for_root(self.root)
+        d = _tomb_dir(self.run_id)
+        files = self._shard_files()
+        parts = []
+        for s in shards:
+            for f, rg in files.get(str(s), []):
+                ck = (f, rg)
+                if ck not in self._rg_cache:
+                    pf = pq.ParquetFile(fs.full(f"{d}/{f}"), filesystem=fs.fs)
+                    self._rg_cache[ck] = pf.read_row_group(
+                        rg, columns=["key"])["key"].to_numpy(
+                            zero_copy_only=False)
+                parts.append(self._rg_cache[ck])
+        if not parts:
+            return np.empty(0, dtype=object)
+        return np.unique(np.concatenate(parts))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for row in batch.to_pylist():
             tp = time.perf_counter()
             meta = FragmentMeta.from_dict(json.loads(row["meta"]))
-            t = read_fragment(self.root, meta, columns=["image_id"],
-                              with_pos=True, apply_dv=False)
-            ids = t["image_id"].to_numpy(zero_copy_only=False).astype(str)
-            hit = keys[np.searchsorted(keys, ids, side="left").clip(0, len(keys) - 1)] == ids
-            new_dead = t["_pos"].to_numpy()[hit]
-            if meta.dv:
-                from ..fragments import read_dv
-                new_dead = np.union1d(new_dead, read_dv(self.root, meta.dv))
-            dv_ref = write_dv(self.root, f"dv-{self.run_id}-{meta.fragment_id}",
-                              new_dead)
-            new_meta = FragmentMeta(**{**asdict(meta), "dv": dv_ref})
+            keys = self._keys_for(json.loads(row["shards"]))
+            new_meta = meta
+            if len(keys):
+                t = read_fragment(self.root, meta,
+                                  columns=list(self.key_columns),
+                                  with_pos=True, apply_dv=False)
+                ids = canonical_keys(t, list(self.key_columns))
+                hit = keys[np.searchsorted(keys, ids, side="left")
+                           .clip(0, len(keys) - 1)] == ids
+                if hit.any():
+                    new_dead = t["_pos"].to_numpy()[hit]
+                    if meta.dv:
+                        from ..fragments import read_dv
+                        new_dead = np.union1d(new_dead,
+                                              read_dv(self.root, meta.dv))
+                    dv_ref = write_dv(
+                        self.root, f"dv-{self.run_id}-{meta.fragment_id}",
+                        new_dead)
+                    new_meta = FragmentMeta(**{**asdict(meta), "dv": dv_ref})
             write_lineage(self.root, self.run_id, f"dv-{meta.fragment_id}", {
                 "kind": "merge-dv", "fragment_id": meta.fragment_id,
                 "meta": asdict(new_meta),
@@ -209,26 +461,31 @@ class _DVUpdate:
         return pa.table({"meta": pa.array(out, pa.string())})
 
 
-def _affected_fragments(snap: Snapshot, tombstones: np.ndarray) -> list[FragmentMeta]:
-    """Zone-map prune: fragments whose image_id range contains >=1 tombstone."""
-    hit = []
+def _affected_fragments(snap: Snapshot, ranges: dict, key0: str
+                        ) -> list[tuple[FragmentMeta, list[str]]]:
+    """Zone-map prune: (fragment, overlapping nonempty shard ids) for
+    every fragment whose first-key-column range intersects at least one
+    tombstone shard's [min, max]."""
+    out = []
     for f in snap.fragments:
-        rng = f.stats.get("image_id")
+        rng = f.stats.get(key0)
         if not rng or f.rows == 0:
             continue
-        lo = np.searchsorted(tombstones, rng[0], side="left")
-        hi = np.searchsorted(tombstones, rng[1], side="right")
-        if hi > lo:
-            hit.append(f)
-    return hit
+        shards = [s for s, (lo, hi) in ranges.items()
+                  if not (hi < rng[0] or lo > rng[1])]
+        if shards:
+            out.append((f, sorted(shards)))
+    return out
 
 
 def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
-          num_buckets: int | None = None) -> Snapshot:
+          num_buckets: int | None = None,
+          key_columns: list[str] | None = None) -> Snapshot:
     """Run MERGE INTO and commit a new snapshot; returns it.
 
     Idempotent: if every CDC op has lsn <= the table's max_lsn the call
-    is a no-op returning the current snapshot.
+    is a no-op returning the current snapshot. ``key_columns`` defaults
+    to the table config's ``identity.key_columns``.
     """
     import ray
     import ray.data as rd
@@ -239,31 +496,21 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
     t0 = time.perf_counter()
     snap = load(root)
     floor_lsn = snap.max_lsn
-
-    # -- driver: CDC key/op summary (column-pruned read, no image bytes)
-    import pyarrow.parquet as pq
-    key_tabs = [pq.read_table(p, columns=["image_id", "_op", "_lsn"])
-                for p in cdc_paths]
-    key_tab = pa.concat_tables(key_tabs)
-    fresh_mask = pc.greater(key_tab["_lsn"], pa.scalar(floor_lsn, pa.int64()))
-    key_tab = key_tab.filter(fresh_mask)
-    if key_tab.num_rows == 0:
-        return snap  # duplicate replay -> no-op
-    cdc_max_lsn = int(pc.max(key_tab["_lsn"]).as_py())
-    tomb_mask = pc.not_equal(key_tab["_op"], pa.scalar("insert"))
-    tombstones = np.unique(
-        key_tab.filter(tomb_mask)["image_id"].to_numpy(zero_copy_only=False)
-        .astype(str))
-    n_ops = key_tab.num_rows
+    if key_columns is None:
+        from ..table_config import load_table_config
+        key_columns = list(load_table_config(root).identity.key_columns)
+    key_columns = tuple(key_columns)
 
     done = read_lineage(root, run_id)
 
     # -- bucket count: scales with BOTH the CDC size (bounded fold state
     # per bucket) and the cluster width (a 4N cluster folds 4x as wide).
-    # Pinned in a run-level lineage record on the FIRST invocation: a
-    # resume after a kill may see a different cluster width, and a
-    # recomputed B would silently re-partition keys across buckets,
-    # dropping/duplicating CDC rows against the done-bucket checkpoints.
+    # Sized from parquet METADATA row counts (footer-only driver read —
+    # no key materialization). Pinned in a run-level lineage record on
+    # the FIRST invocation: a resume after a kill may see a different
+    # cluster width, and a recomputed B would silently re-partition keys
+    # across buckets, dropping/duplicating CDC rows against the
+    # done-bucket checkpoints.
     params = done.get("params")
     if params:
         B = int(params["num_buckets"])
@@ -272,39 +519,59 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                 f"resume of run {run_id} pinned num_buckets={B}, "
                 f"got {num_buckets}")
     else:
+        import pyarrow.parquet as pq
+        n_rows = sum(pq.read_metadata(p).num_rows for p in cdc_paths)
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # 4x CPU width floor: with B ~= CPUs one wave of buckets makes
         # the wall clock the slowest bucket (skew-bound); 4x keeps the
         # tail short while fold state per bucket stays bounded
-        B = num_buckets or int(np.clip(max(n_ops // 500, 4 * n_cpus), 1, 4096))
+        B = num_buckets or int(np.clip(max(n_rows // 500, 4 * n_cpus), 1, 4096))
         write_lineage(root, run_id, "params",
                       {"kind": "merge-params", "num_buckets": B})
 
-    # -- stage 1: DV tombstones on affected base fragments
-    dv_metas: dict[str, FragmentMeta] = {}
-    affected = _affected_fragments(snap, tombstones) if len(tombstones) else []
-    todo = []
-    for f in affected:
-        rec = done.get(f"dv-{f.fragment_id}")
-        if rec:
-            dv_metas[f.fragment_id] = FragmentMeta.from_dict(rec["meta"])
-        else:
-            todo.append(f)
-    # per-stage wall seconds for the commit's job metrics (DV and fold
-    # run concurrently, so each future times itself)
-    stage_sec: dict[str, float] = {}
+    # both CDC Datasets are CONSTRUCTED here on the main thread:
+    # read_parquet construction races a lazy fsspec import inside Ray's
+    # path resolution when two threads build readers concurrently
+    # (observed: ImportError from a partially-imported module). The
+    # threads below only attach stages and execute, which is safe.
+    tomb_ds = (None if done.get("tombstones") else rd.read_parquet(
+        cdc_paths, columns=sorted(set(key_columns)) + ["_op", "_lsn"]))
+    fold_ds = rd.read_parquet(cdc_paths)
 
-    def run_dv_stage() -> list:
-        if not todo:
-            return []
+    # -- stage 0+1 (one thread): tombstone shard pass (distributed,
+    # column-pruned; also yields the CDC aggregates, so the driver never
+    # reads the CDC) -> DV updates on the affected base fragments
+    stage_sec: dict[str, float] = {}
+    dv_metas: dict[str, FragmentMeta] = {}
+
+    def run_tomb_and_dv_stage() -> tuple[dict, list]:
         tp = time.perf_counter()
-        keys_ref = ray.put(tombstones)
-        items = [{"meta": json.dumps(asdict(f))} for f in todo]
+        tomb_rec = _tombstone_pass(root, run_id, snap, cdc_paths,
+                                   key_columns, floor_lsn, done,
+                                   cdc_ds=tomb_ds)
+        stage_sec["tombstone_sec"] = round(time.perf_counter() - tp, 3)
+        if int(tomb_rec["n_fresh"]) == 0:
+            return tomb_rec, []
+        affected = _affected_fragments(snap, tomb_rec["ranges"],
+                                       key_columns[0])
+        todo = []
+        for f, shards in affected:
+            rec = done.get(f"dv-{f.fragment_id}")
+            if rec:
+                dv_metas[f.fragment_id] = FragmentMeta.from_dict(rec["meta"])
+            else:
+                todo.append((f, shards))
+        if not todo:
+            return tomb_rec, []
+        tp = time.perf_counter()
+        files_ref = ray.put(tomb_rec["files"])  # broadcast once, O(shards)
+        items = [{"meta": json.dumps(asdict(f)), "shards": json.dumps(shards)}
+                 for f, shards in todo]
         ds = rd.from_items(items, override_num_blocks=len(items))
-        out = ds.map_batches(_DVUpdate(root, run_id, keys_ref), batch_size=1,
-                             batch_format="pyarrow").take_all()
+        out = ds.map_batches(_DVUpdate(root, run_id, files_ref, key_columns),
+                             batch_size=1, batch_format="pyarrow").take_all()
         stage_sec["dv_sec"] = round(time.perf_counter() - tp, 3)
-        return out
+        return tomb_rec, out
 
     # -- stage 2: bucketed fold of CDC rows -> survivor fragments
     done_buckets = {rec["bucket"] for k, rec in done.items()
@@ -318,7 +585,7 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         batch = batch.filter(pc.greater(batch["_lsn"], pa.scalar(floor_lsn, pa.int64())))
         if batch.num_rows == 0:
             return batch.append_column("_bucket", pa.array([], pa.int64()))
-        b = bucket_of(batch["image_id"], B)
+        b = bucket_of(canonical_keys(batch, list(key_columns)), B)
         batch = batch.append_column("_bucket", pa.array(b, pa.int64()))
         if done_buckets:
             keep = ~np.isin(b, list(done_buckets))
@@ -327,24 +594,31 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
 
     def run_fold_stage() -> list:
         tp = time.perf_counter()
-        cdc = rd.read_parquet(cdc_paths)
-        cdc = cdc.map_batches(prep, batch_format="pyarrow")
+        cdc = fold_ds.map_batches(prep, batch_format="pyarrow")
         folded = cdc.groupby("_bucket").map_groups(
-            _BucketMerge(root, run_id, floor_lsn, snap.schema),
+            _BucketMerge(root, run_id, floor_lsn, snap.schema, key_columns),
             batch_format="pyarrow")
         out = folded.take_all()
         stage_sec["fold_sec"] = round(time.perf_counter() - tp, 3)
         return out
 
-    # stages 1 and 2 are independent until the commit fold (the DV pass
-    # touches only base fragments, the fold only CDC rows) — run their
-    # Ray pipelines concurrently so neither's fixed latency serializes
+    # the tombstone->DV chain and the fold are independent until the
+    # commit (the DV side touches only base fragments, the fold only CDC
+    # rows) — run their Ray pipelines concurrently so neither's fixed
+    # latency serializes: wall = max(tombstone+dv, fold)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=2) as ex:
-        dv_fut = ex.submit(run_dv_stage)
+        dv_fut = ex.submit(run_tomb_and_dv_stage)
         fold_fut = ex.submit(run_fold_stage)
-        dv_rows = dv_fut.result()
+        tomb_rec, dv_rows = dv_fut.result()
         fold_rows = fold_fut.result()
+    n_ops = int(tomb_rec["n_fresh"])
+    if n_ops == 0:
+        # duplicate replay -> no-op (the concurrent fold saw only stale
+        # LSNs, so it wrote nothing either)
+        for_root(root).delete_dir(f"tmp/merge-{run_id}")
+        return snap
+    cdc_max_lsn = int(tomb_rec["max_lsn"])
     for r in dv_rows:
         m = FragmentMeta.from_dict(json.loads(r["meta"]))
         dv_metas[m.fragment_id] = m
@@ -359,12 +633,15 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             final.append(m)
     final.extend(m for m in new_metas if m.rows > 0)
     final.sort(key=lambda m: m.fragment_id)
-    return commit(root, final, max_lsn=max(cdc_max_lsn, floor_lsn),
-                  job={"kind": "merge", "run_id": run_id,
-                       "cdc_paths": sorted(cdc_paths), "num_buckets": B,
-                       "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
-                                   "cdc_ops": n_ops,
-                                   "tombstones": len(tombstones),
-                                   "dv_fragments": len(dv_metas),
-                                   **stage_sec}},
-                  expected_parent=snap.version)
+    out = commit(root, final, max_lsn=max(cdc_max_lsn, floor_lsn),
+                 job={"kind": "merge", "run_id": run_id,
+                      "cdc_paths": sorted(cdc_paths), "num_buckets": B,
+                      "key_columns": list(key_columns),
+                      "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
+                                  "cdc_ops": n_ops,
+                                  "tombstones": int(tomb_rec["tombstones"]),
+                                  "dv_fragments": len(dv_metas),
+                                  **stage_sec}},
+                 expected_parent=snap.version)
+    for_root(root).delete_dir(f"tmp/merge-{run_id}")
+    return out

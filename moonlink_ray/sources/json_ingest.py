@@ -3,19 +3,25 @@
 Moonlink's REST API accepts JSON rows and converts them to typed table
 rows with per-field validation before they enter the ingestion pipeline
 (``/root/reference/src/moonlink_service/src/rest_api.rs:196-210``,
-``src/moonlink/src/rest_ingest/json_converter.rs`` — field-by-field
-decode with typed errors). Here the same contract is a Ray Data
-pipeline: ``ray.data.read_json`` streams JSONL shards, a vectorized
-validation/decode stage turns them into typed Arrow batches
-(base64-decoded payloads, checked ops/LSNs), and the result feeds
+``src/moonlink/src/rest_ingest/json_converter.rs:34-200`` —
+field-by-field decode with typed errors, incl. numerics, datetimes and
+decimal validation). Here the same contract is a Ray Data pipeline:
+``ray.data.read_json`` streams JSONL shards, a vectorized
+validation/decode stage turns them into typed Arrow batches conforming
+to the table's ACTIVE schema (so a column added by ALTER ingests, and a
+dropped one is rejected/dropped per strictness), and the result feeds
 either ``append_dataset`` (plain inserts) or ``merge`` (CDC upserts).
 
 Validation semantics (mirroring the REST converter's strictness):
 - required: ``image_id`` (str); for CDC also ``_op`` in
   {insert, upsert, delete} and ``_lsn`` (int);
-- ``bytes`` is a base64 string in JSON (binary cannot ride raw JSON);
-  deletes may omit all content fields;
-- unknown fields are dropped (the active table schema decides);
+- typed conversion per schema column: strings/ints/floats/bools cast
+  with overflow/lossy-cast errors surfaced; ``timestamp[us]`` parses
+  ISO-8601 strings; ``binary`` columns are base64 strings in JSON
+  (binary cannot ride raw JSON); deletes may omit content fields;
+- fields absent from a row are null-filled; fields not in the active
+  schema (never-declared or ALTER-dropped) raise in ``strict`` mode and
+  are silently dropped otherwise;
 - ``strict=True`` raises on the first bad row (with its index);
   ``strict=False`` drops bad rows — the REST path's per-row 4xx.
 """
@@ -31,6 +37,7 @@ import pyarrow as pa
 from .. import synth
 
 _OPS = ("insert", "upsert", "delete")
+_CDC_EXTRA = (("_op", pa.string()), ("_lsn", pa.int64()), ("_seq", pa.int64()))
 
 
 class JsonRowError(ValueError):
@@ -49,21 +56,63 @@ def _decode_b64(val, i: int, strict: bool):
 
 
 class JsonCdcParser:
-    """map_batches callable: JSON-parsed rows -> typed CDC Arrow batch.
+    """map_batches callable: JSON-parsed rows -> typed Arrow batch
+    conforming to the table's active schema.
 
     Stateless and vectorized where the data allows (op/LSN checks are
-    numpy; base64 decode is per-row because payloads are variable)."""
+    numpy, typed casts are Arrow kernels; base64 decode is per-row
+    because payloads are variable)."""
 
-    def __init__(self, strict: bool = True, cdc: bool = True):
+    def __init__(self, strict: bool = True, cdc: bool = True,
+                 schema_list: list | None = None):
+        from ..schema import schema_from_list
         self.strict = strict
         self.cdc = cdc
+        self.schema = schema_from_list(schema_list) or synth.IMAGES_SCHEMA
         self.__name__ = "JsonCdcParser"
+
+    def _typed(self, batch: pa.Table, field: pa.Field, ok: np.ndarray):
+        """Column for one schema field: null-fill if absent, else typed
+        conversion; tolerant mode marks inconvertible rows in ``ok``."""
+        n = batch.num_rows
+        if field.name not in batch.column_names:
+            return pa.nulls(n, field.type)
+        col = batch[field.name]
+        src = col.type
+        if pa.types.is_timestamp(field.type) and (
+                pa.types.is_string(src) or pa.types.is_large_string(src)):
+            pass  # Arrow's string->timestamp cast parses ISO-8601
+        try:
+            return col.cast(field.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError) as e:
+            if self.strict:
+                raise JsonRowError(
+                    f"column {field.name}: cannot convert {src} -> "
+                    f"{field.type}: {e}") from None
+        # tolerant slow path: per-row SAFE cast (pa.scalar would truncate
+        # lossy numerics silently), bad rows masked out
+        vals = []
+        for i, v in enumerate(col.to_pylist()):
+            try:
+                vals.append(pa.array([v], src).cast(field.type)[0].as_py())
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError,
+                    ValueError):
+                vals.append(None)
+                ok[i] = False
+        return pa.array(vals, field.type)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         names = set(batch.column_names)
         if "image_id" not in names:
             raise JsonRowError("missing required field image_id")
+        allowed = {f.name for f in self.schema} | {c for c, _ in _CDC_EXTRA}
+        unknown = sorted(names - allowed)
+        if unknown and self.strict:
+            raise JsonRowError(
+                f"field(s) {unknown} not in the active table schema "
+                f"(never declared, or removed by ALTER ... DROP)")
         ok = np.ones(n, dtype=bool)
         ids = batch["image_id"].to_numpy(zero_copy_only=False)
         bad = np.array([x is None or not isinstance(x, str) for x in ids])
@@ -92,49 +141,48 @@ class JsonCdcParser:
                         f"row {int(np.flatnonzero(bad)[0])}: missing _lsn")
                 ok &= ~bad
 
-        blobs, dec_ok = [], np.ones(n, dtype=bool)
-        have_bytes = "bytes" in names
-        for i in range(n):
-            if not ok[i]:
-                blobs.append(None)
-                continue
-            raw = batch["bytes"][i].as_py() if have_bytes else None
-            b, good = _decode_b64(raw, i, self.strict)
-            blobs.append(b)
-            dec_ok[i] = good
-        ok &= dec_ok
-
-        def col(name, typ, default=None):
-            if name in names:
-                return batch[name].cast(typ)
-            return pa.nulls(n, typ) if default is None else \
-                pa.array([default] * n, typ)
-
-        out_schema = synth.CDC_SCHEMA if self.cdc else synth.IMAGES_SCHEMA
-        cols = {
-            "image_id": batch["image_id"].cast(pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "w": col("w", pa.int32()),
-            "h": col("h", pa.int32()),
-            "fmt": col("fmt", pa.string()),
-            "caption": col("caption", pa.string()),
-            "phash": col("phash", pa.int64()),
-        }
+        cols: dict = {}
+        out_fields: list[pa.Field] = []
+        for f in self.schema:
+            out_fields.append(f)
+            if f.name == "image_id":
+                cols[f.name] = batch[f.name].cast(pa.string())
+            elif pa.types.is_binary(f.type):
+                blobs, dec_ok = [], np.ones(n, dtype=bool)
+                have = f.name in names
+                for i in range(n):
+                    if not ok[i]:
+                        blobs.append(None)
+                        continue
+                    raw = batch[f.name][i].as_py() if have else None
+                    b, good = _decode_b64(raw, i, self.strict)
+                    blobs.append(b)
+                    dec_ok[i] = good
+                ok &= dec_ok
+                cols[f.name] = pa.array(blobs, f.type)
+            else:
+                cols[f.name] = self._typed(batch, f, ok)
         if self.cdc:
             cols["_op"] = batch["_op"].cast(pa.string())
             cols["_lsn"] = batch["_lsn"].cast(pa.int64())
-            cols["_seq"] = col("_seq", pa.int64(), 0)
+            cols["_seq"] = (batch["_seq"].cast(pa.int64())
+                            if "_seq" in names
+                            else pa.array([0] * n, pa.int64()))
+            out_fields += [pa.field(c, t) for c, t in _CDC_EXTRA]
+        out_schema = pa.schema(out_fields)
         t = pa.table({f.name: cols[f.name] for f in out_schema},
                      schema=out_schema)
         return t.filter(pa.array(ok)) if not ok.all() else t
 
 
-def read_cdc_json(paths, *, strict: bool = True):
+def read_cdc_json(paths, *, strict: bool = True,
+                  schema_list: list | None = None):
     """JSONL shard paths -> Dataset of typed CDC rows (streamed)."""
     import ray.data as rd
 
     ds = rd.read_json(paths)
-    return ds.map_batches(JsonCdcParser(strict=strict, cdc=True),
+    return ds.map_batches(JsonCdcParser(strict=strict, cdc=True,
+                                        schema_list=schema_list),
                           batch_format="pyarrow")
 
 
@@ -142,30 +190,30 @@ def ingest_cdc_json(root: str, paths, *, run_id: str | None = None,
                     strict: bool = True):
     """Parse CDC JSONL and MERGE it into the table.
 
-    The parsed stream is staged as a parquet CDC batch under the table's
-    own tmp/ prefix (so merge's column-pruned key pass and its resume
-    path work unchanged), then merged. Returns the new snapshot."""
+    The parsed stream is staged as parquet CDC shards under the table's
+    own tmp/ prefix via ``Dataset.write_parquet`` (one shard per block —
+    nothing is collected to the driver, so an arbitrarily large backfill
+    streams), then merged. Returns the new snapshot."""
     import uuid
 
     from ..fs import for_root
+    from ..manifest import load
     from ..pipelines.merge import merge
 
     run_id = run_id or uuid.uuid4().hex[:12]
     fs = for_root(root)
-    fs.makedirs("tmp")
-    staged_rel = f"tmp/cdc-json-{run_id}.parquet"
-    # CDC batches are small relative to the base table (same assumption
-    # merge itself documents for its key pass), so staging via the
-    # driver is bounded; a huge backfill would stage with
-    # Dataset.write_parquet shards instead.
-    tab = pa.concat_tables(
-        b for b in read_cdc_json(paths, strict=strict)
-        .iter_batches(batch_format="pyarrow"))
-    fs.write_parquet_atomic(tab.cast(synth.CDC_SCHEMA), staged_rel)
+    staged_rel = f"tmp/cdc-json-{run_id}"
+    fs.makedirs(staged_rel)
+    ds = read_cdc_json(paths, strict=strict, schema_list=load(root).schema)
+    ds.write_parquet(fs.full(staged_rel), filesystem=fs.fs)
+    shards = [fs.full(f"{staged_rel}/{name}")
+              for name in fs.listdir(staged_rel) if name.endswith(".parquet")]
     try:
-        return merge(root, fs.full(staged_rel), run_id=run_id)
+        if not shards:  # every row dropped (tolerant mode) -> no-op
+            return load(root)
+        return merge(root, shards, run_id=run_id)
     finally:
-        fs.delete(staged_rel)
+        fs.delete_dir(staged_rel)
 
 
 def append_json(root: str, paths, *, strict: bool = True,
@@ -173,9 +221,11 @@ def append_json(root: str, paths, *, strict: bool = True,
     """Parse plain-row JSONL and append as new fragments (REST insert
     analog, no key reconciliation)."""
     from ..bootstrap import append_dataset
+    from ..manifest import load
     import ray.data as rd
 
     ds = rd.read_json(paths)
-    ds = ds.map_batches(JsonCdcParser(strict=strict, cdc=False),
+    ds = ds.map_batches(JsonCdcParser(strict=strict, cdc=False,
+                                      schema_list=load(root).schema),
                         batch_format="pyarrow")
     return append_dataset(root, ds, run_id=run_id)

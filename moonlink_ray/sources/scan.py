@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..fragments import read_fragment
+from ..fs import for_root
 from ..manifest import FragmentMeta, Snapshot, load
 
 
@@ -142,6 +143,48 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
     return ds.map_batches(_reader(root, columns, with_pos, with_frag,
                                   predicate, schema_list),
                           batch_size=meta_batch_size, batch_format="pyarrow")
+
+
+def scan_manifest(root: str, version: int | None = None, *,
+                  at_lsn: int | None = None) -> dict:
+    """Reader handoff: a plain-data description of one snapshot, so an
+    EXTERNAL engine can read the table without this package — the
+    analog of moonlink's ``scan_table_begin`` returning
+    ``MooncakeTableMetadata {data_files, puffin_files,
+    deletion_vectors, position_deletes}``
+    (``/root/reference/src/moonlink_table_metadata/src/
+    table_metadata.rs:9-23`` and the RPC at
+    ``moonlink_rpc/src/lib.rs:36``).
+
+    Contract: the live rows of the snapshot = for each fragment, the
+    rows of ``path`` whose 0-based file row position is NOT listed in
+    its deletion vector (``dv_path``: a parquet sidecar with one int64
+    ``pos`` column; absent = no deletions). Fragments, DVs and snapshot
+    descriptors are immutable, so the handoff stays valid verbatim
+    until the referenced snapshot is expired.
+    """
+    if at_lsn is not None:
+        if version is not None:
+            raise ValueError("pass version or at_lsn, not both")
+        from ..manifest import version_at_lsn
+        version = version_at_lsn(root, at_lsn)
+    snap = load(root, version)
+    from ..schema import schema_to_list, table_schema
+    fs = for_root(root)
+    return {
+        "table_root": fs.full(),
+        "version": snap.version,
+        "max_lsn": snap.max_lsn,
+        "schema": schema_to_list(table_schema(snap)),
+        "fragments": [{
+            "fragment_id": f.fragment_id,
+            "path": fs.full(f.path),
+            "rows": f.rows,
+            "size_bytes": f.size_bytes,
+            "dv_path": fs.full(f.dv["path"]) if f.dv else None,
+            "dv_count": f.dv["count"] if f.dv else 0,
+        } for f in snap.fragments],
+    }
 
 
 def scan_arrow(root: str, version: int | None = None,

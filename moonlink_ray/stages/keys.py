@@ -27,6 +27,56 @@ def bucket_of(keys, num_buckets: int) -> np.ndarray:
     return (stable_hash_strings(keys) % np.uint64(num_buckets)).astype(np.int64)
 
 
+# \x1f (ASCII unit separator) joins composite key columns; key values may
+# not contain it (same class of reserved-byte contract as moonlink's
+# AHash over the typed column values, which has no collision-free string
+# form at all).
+KEY_SEP = "\x1f"
+
+
+def canonical_key_column(table: pa.Table, key_columns: list[str]):
+    """Canonical identity key per row as an Arrow string array (no
+    Python-object materialization; see canonical_keys)."""
+    import pyarrow.compute as pc
+
+    if len(key_columns) == 1:
+        col = table[key_columns[0]]
+    else:
+        arrs = [pc.cast(table[c], pa.string()) for c in key_columns]
+        col = pc.binary_join_element_wise(*arrs, KEY_SEP)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def key_codes(table: pa.Table, key_columns: list[str]) -> np.ndarray:
+    """Distinct int code per canonical key (Arrow dictionary encode —
+    C-speed hash grouping, no object-array sort)."""
+    import pyarrow.compute as pc
+
+    col = canonical_key_column(table, key_columns)
+    return pc.dictionary_encode(col).indices.to_numpy(zero_copy_only=False)
+
+
+def canonical_keys(table: pa.Table, key_columns: list[str]) -> np.ndarray:
+    """Canonical identity key per row (object ndarray of str).
+
+    Single key column -> the raw column values; composite key -> the
+    KEY_SEP-joined string casts of the key columns, the vectorized
+    analog of ``IdentityProp::Keys`` identity hashing
+    (``/root/reference/src/moonlink/src/row/moonlink_row.rs:336-342``).
+    Lexicographic order of canonical keys is first-column-major, so
+    zone-map pruning on the first key column stays sound.
+    """
+    import pyarrow.compute as pc
+
+    if len(key_columns) == 1:
+        return table[key_columns[0]].to_numpy(zero_copy_only=False)
+    arrs = [pc.cast(table[c], pa.string()) for c in key_columns]
+    joined = pc.binary_join_element_wise(*arrs, KEY_SEP)
+    return joined.to_numpy(zero_copy_only=False)
+
+
 # ------------------------------------------------------------- Z-order
 
 def _spread_bits_u64(x: np.ndarray, stride: int, offset: int, nbits: int) -> np.ndarray:

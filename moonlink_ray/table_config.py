@@ -33,6 +33,17 @@ CONFIG_REL = "config.json"
 
 
 @dataclass
+class IdentityConfig:
+    """Row-identity declaration — the analog of moonlink's IdentityProp
+    (``/root/reference/src/moonlink/src/row/moonlink_row.rs:270-350``).
+    ``key_columns`` of length 1 = SinglePrimitiveKey; length > 1 = the
+    ``Keys(vec)`` composite mode (MERGE/dedup key on the canonical
+    joined key, zone-map pruning on the first column). FullRow identity
+    is out of scope (documented in pipelines/merge.py)."""
+    key_columns: list = field(default_factory=lambda: ["image_id"])
+
+
+@dataclass
 class ClusterConfig:
     curve: str = "zorder"
     exchange: str = "spill"
@@ -57,13 +68,15 @@ class TableConfig:
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     follow: FollowConfig = field(default_factory=FollowConfig)
     expire: ExpireConfig = field(default_factory=ExpireConfig)
+    identity: IdentityConfig = field(default_factory=IdentityConfig)
 
     def to_dict(self) -> dict:
         return asdict(self)
 
 
 _SECTIONS = {"compaction": CompactionConfig, "cluster": ClusterConfig,
-             "follow": FollowConfig, "expire": ExpireConfig}
+             "follow": FollowConfig, "expire": ExpireConfig,
+             "identity": IdentityConfig}
 
 
 def _merge_section(cls, overrides: dict):

@@ -93,3 +93,58 @@ def test_parser_tolerant_drops_bad_rows():
     assert out.num_rows == 2
     assert out["image_id"].to_pylist() == ["img-a", "img-c"]
     assert out.schema.equals(synth.CDC_SCHEMA)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_ingest_honors_altered_schema(tmp_path):
+    """ALTER ADD then JSON-append rows carrying the new column: typed
+    values land; ALTER DROP then a row carrying the dropped column:
+    strict rejects, tolerant drops the field but keeps the row
+    (json_converter.rs:34-200 typed-conversion analog)."""
+    from moonlink_ray.schema import alter_table
+
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 10, rows_per_fragment=8)
+    alter_table(root, add=[("quality_score", "float64"),
+                           ("ingested_at", "timestamp[us]")])
+
+    row = _row_json(500)
+    row["quality_score"] = 0.875
+    row["ingested_at"] = "2026-08-18T12:34:56"
+    p = _write_jsonl(tmp_path / "new.jsonl", [row])
+    append_json(root, p)
+    got = scan_arrow(root)
+    match = got.filter(
+        pa.compute.equal(got["image_id"], synth.image_id(500))).to_pylist()[0]
+    assert match["quality_score"] == 0.875
+    import datetime
+    assert match["ingested_at"] == datetime.datetime(2026, 8, 18, 12, 34, 56)
+    # pre-ALTER rows scan as null in the added columns
+    old = got.filter(
+        pa.compute.equal(got["image_id"], synth.image_id(0))).to_pylist()[0]
+    assert old["quality_score"] is None
+
+    # drop a column, then try to ingest it again
+    alter_table(root, drop=["quality_score"])
+    row2 = _row_json(501)
+    row2["quality_score"] = 0.5
+    p2 = _write_jsonl(tmp_path / "dropped.jsonl", [row2])
+    with pytest.raises(Exception, match="quality_score"):
+        append_json(root, p2, strict=True)
+    snap = append_json(root, p2, strict=False)
+    got2 = scan_arrow(root, columns=["image_id"])
+    assert synth.image_id(501) in set(got2["image_id"].to_pylist())
+    assert "quality_score" not in scan_arrow(root).column_names
+    assert snap.total_rows == 12
+
+
+def test_parser_typed_conversion_errors():
+    """Lossy numeric casts are rejected in strict mode and row-masked in
+    tolerant mode."""
+    sch = [["image_id", "string"], ["score", "int32"]]
+    bad = pa.table({"image_id": ["a", "b"], "score": [1.0, 2.5]})
+    with pytest.raises(JsonRowError, match="score"):
+        JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
+    out = JsonCdcParser(strict=False, cdc=False, schema_list=sch)(bad)
+    assert out["image_id"].to_pylist() == ["a"]
+    assert out["score"].to_pylist() == [1]

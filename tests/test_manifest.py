@@ -33,6 +33,72 @@ def test_commit_conflict(tmp_path):
         commit(root, [], max_lsn=0, job={}, expected_parent=0)
 
 
+def test_concurrent_commit_exactly_one_wins(tmp_path, monkeypatch):
+    """Conditional-put commit (file_catalog.rs:259-280 analog): two
+    committers that BOTH read the same parent before either writes —
+    the TOCTOU window of read-version-then-publish — race the exclusive
+    snapshot create; exactly one wins, the loser gets CommitConflict
+    (not a silent clobber)."""
+    from moonlink_ray import manifest as M
+
+    root = str(tmp_path / "t")
+    init_table(root)
+    # pin the version read both committers make, simulating concurrency
+    monkeypatch.setattr(M, "current_version", lambda r: 0)
+    snap1 = M.commit(root, [], max_lsn=1, job={"kind": "w1"})
+    assert snap1.version == 1
+    with pytest.raises(CommitConflict):
+        M.commit(root, [], max_lsn=2, job={"kind": "w2"})
+    monkeypatch.undo()
+    # the winner's snapshot survives untouched
+    assert load(root).job["kind"] == "w1"
+    assert load(root).max_lsn == 1
+
+
+def test_create_exclusive_single_winner_under_threads(tmp_path):
+    """The primitive itself: N threads race one key; exactly one wins."""
+    import threading
+
+    from moonlink_ray.fs import for_root
+
+    root = str(tmp_path / "t")
+    init_table(root)
+    fs = for_root(root)
+    results = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        results.append((i, fs.create_exclusive("snapshots/v9.json",
+                                               f"writer-{i}")))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [i for i, ok in results if ok]
+    assert len(winners) == 1
+    assert fs.read_text("snapshots/v9.json") == f"writer-{winners[0]}"
+
+
+def test_version_hint_self_heals(tmp_path):
+    """A committer that dies between snapshot create and hint swap (or
+    a late hint write) leaves the hint trailing; current_version probes
+    forward over existing snapshot files (the Iceberg file-catalog
+    listing fallback)."""
+    from moonlink_ray.fs import for_root
+
+    root = str(tmp_path / "t")
+    init_table(root)
+    snap = commit(root, [], max_lsn=3, job={"kind": "ok"})
+    assert snap.version == 1
+    # simulate the stale hint
+    for_root(root).write_text_atomic("version-hint.text", "0")
+    assert current_version(root) == 1
+    assert load(root).max_lsn == 3
+
+
 def test_fragment_dv_roundtrip(tmp_path):
     root = str(tmp_path / "t")
     init_table(root)
