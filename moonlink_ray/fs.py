@@ -164,12 +164,15 @@ class TableFS:
         return pq.read_schema(self.full(rel), filesystem=self.fs)
 
     def write_parquet_atomic(self, table: pa.Table, rel: str, **kw) -> None:
+        from .runtime import page_write_throttle
         path = self.full(rel)
         if self.object_store:
-            pq.write_table(table, path, filesystem=self.fs, **kw)
+            with page_write_throttle():
+                pq.write_table(table, path, filesystem=self.fs, **kw)
             return
         tmp = path + ".tmp"
-        pq.write_table(table, tmp, filesystem=self.fs, **kw)
+        with page_write_throttle():
+            pq.write_table(table, tmp, filesystem=self.fs, **kw)
         self.fs.move(tmp, path)
 
     # -- namespace ops

@@ -87,10 +87,18 @@ _TOPK = 64
 
 
 def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder",
-                        fragments=None):
+                        fragments=None, max_fragments: int = 64):
     """Bounded statistics pass: per-batch weighted zkey sample + top-k
     counts. Reads only (phash, w, h) — a few bytes per row, no image
-    payload.
+    payload — from at most ``max_fragments`` fragments.
+
+    Fragment sampling (evenly spaced over the manifest order, weights
+    rescaled to the full live-row count) bounds the plan phase at O(1)
+    fragments read REGARDLESS of table size — the quantile boundaries
+    it feeds are a layout choice, not a correctness input (the spill
+    row-count invariant and the sort itself never depend on the plan).
+    A hot zkey wholly inside unsampled fragments can miss the salting
+    set; the cost is a slow bucket, not a wrong answer.
 
     Returns (samples, weights, hot_counts: Counter, total_rows).
     ``samples``/``weights`` approximate the zkey distribution (each
@@ -100,9 +108,19 @@ def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder",
     contain it). At extreme scale this pass would add one tree-reduce
     level; the driver math is unchanged.
     """
+    frags = snap.fragments if fragments is None else list(fragments)
+    total_live = sum(f.live_rows for f in frags)
+    factor = 1.0
+    if len(frags) > max_fragments:
+        idx = np.unique(np.linspace(0, len(frags) - 1, max_fragments)
+                        .astype(np.int64))
+        sampled = [frags[i] for i in idx]
+        sampled_live = sum(f.live_rows for f in sampled)
+        if sampled_live > 0:
+            factor = total_live / sampled_live
+            frags = sampled
     ds = scan(root, columns=["phash", "w", "h"],
-              fragments=snap.fragments if fragments is None else fragments,
-              meta_batch_size=8)
+              fragments=frags, meta_batch_size=8)
     key_fn = CURVE_KEYS[curve]
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -131,17 +149,15 @@ def _zkey_stats_sampled(root: str, snap: Snapshot, curve: str = "zorder",
 
     samples, weights = [], []
     hot_counts: Counter = Counter()
-    total = 0.0
     for row in ds.map_batches(partial, batch_size=None,
                               batch_format="pyarrow").take_all():
         if row["kind"] == 0:
             samples.append(row["zkey"])
-            weights.append(row["wt"])
-            total += row["wt"]
+            weights.append(row["wt"] * factor)
         else:
-            hot_counts[row["zkey"]] += int(row["wt"])
+            hot_counts[row["zkey"]] += int(row["wt"] * factor)
     return (np.asarray(samples, dtype=np.int64),
-            np.asarray(weights, dtype=np.float64), hot_counts, int(round(total)))
+            np.asarray(weights, dtype=np.float64), hot_counts, total_live)
 
 
 def estimate_hot_zkeys(root: str, snap: Snapshot, hot_threshold: float) -> set[int]:
@@ -323,16 +339,18 @@ class _DeriveSpill:
         rel = f"{tag}.parquet"
         full = fs.full(f"{spill}/{rel}")
         out_zb, out_rows = [], []
-        writer = pq.ParquetWriter(full + ".tmp", sorted_t.schema,
-                                  compression="NONE", filesystem=fs.fs)
-        try:
-            for s, e in zip(starts, stops):
-                part = sorted_t.slice(s, e - s)
-                writer.write_table(part, row_group_size=part.num_rows)
-                out_zb.append(int(zb_sorted[s]))
-                out_rows.append(part.num_rows)
-        finally:
-            writer.close()
+        from ..runtime import page_write_throttle
+        with page_write_throttle():
+            writer = pq.ParquetWriter(full + ".tmp", sorted_t.schema,
+                                      compression="NONE", filesystem=fs.fs)
+            try:
+                for s, e in zip(starts, stops):
+                    part = sorted_t.slice(s, e - s)
+                    writer.write_table(part, row_group_size=part.num_rows)
+                    out_zb.append(int(zb_sorted[s]))
+                    out_rows.append(part.num_rows)
+            finally:
+                writer.close()
         fs.fs.move(full + ".tmp", full)
         n = len(out_zb)
         return pa.table({"zb": pa.array(out_zb, pa.int64()),
@@ -426,7 +444,8 @@ def cluster(root: str, *, run_id: str | None = None,
             fragment_target_bytes: int = 128 * 1024 * 1024,
             reencode_psnr: float | None = None,
             only_fragments: list[FragmentMeta] | None = None,
-            job_kind: str = "cluster") -> Snapshot | None:
+            job_kind: str = "cluster",
+            cleanup: str = "inline") -> Snapshot | None:
     """Full-table Z-order/Hilbert rewrite; returns the new snapshot.
 
     ``exchange`` picks the wide path:
@@ -626,7 +645,11 @@ def cluster(root: str, *, run_id: str | None = None,
                                   **{f"{k}_sec": v
                                      for k, v in phase_sec.items()}}},
                  expected_parent=snap.version)
-    for_root(root).delete_dir(f"tmp/cluster-{run_id}")
+    if cleanup != "defer":
+        # "defer" leaves the spill for expire's scratch GC (see
+        # merge.merge docstring: bulk frees right after a commit poison
+        # the next job's page allocations)
+        for_root(root).delete_dir(f"tmp/cluster-{run_id}")
     return out
 
 

@@ -104,8 +104,26 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
             fs.delete_dir(d)
             removed_lineage.append(rid)
 
+    # scratch GC: tmp/ holds spill/staging of runs that opted for
+    # deferred cleanup (merge/cluster cleanup="defer" — the async
+    # scratch-GC deployment pattern) plus debris of aborted runs.
+    # Committed runs' scratch is garbage by definition; uncommitted
+    # runs' lineage was just removed above under the same flag, so
+    # their scratch is equally dead. (Single-writer table: expire never
+    # runs concurrently with a maintenance job.)
+    removed_tmp = 0
+    if clean_orphans:
+        for name in fs.listdir("tmp"):
+            rel = f"tmp/{name}"
+            if fs.is_dir(rel):
+                fs.delete_dir(rel)
+            else:
+                fs.delete(rel)
+            removed_tmp += 1
+
     return {"retained_versions": retained, "expired_versions": expired,
-            "deleted_files": deleted, "removed_lineage_runs": removed_lineage,
+            "deleted_files": deleted, "removed_tmp": removed_tmp,
+            "removed_lineage_runs": removed_lineage,
             "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),
                         "deleted_files": deleted,
                         "expired_versions": len(expired)}}

@@ -227,6 +227,49 @@ class _BucketMerge:
                                           pa.string())})
 
 
+# -------------------------------------------- streaming-transaction abort
+
+def _aborted_xids(cdc_paths: list[str]):
+    """Streaming-transaction abort support — the batch analog of
+    moonlink's per-xact buffering with abort
+    (``/root/reference/src/moonlink/src/storage/mooncake_table/
+    transaction_stream.rs:17-41`` and the ``StreamAbort`` WAL event,
+    ``storage/wal.rs:78-100``): CDC rows may carry an ``_xid`` column;
+    a marker row with ``_op == "abort"`` discards EVERY op of that
+    transaction in the batch (the xact never committed upstream).
+
+    Returns a sorted int64 xid array, or None when the CDC carries no
+    ``_xid`` column (the common non-streaming case — zero cost).
+    Driver state is O(#aborted transactions)."""
+    import pyarrow.parquet as pq
+
+    if not any("_xid" in pq.read_schema(p).names for p in cdc_paths):
+        return None
+    import ray.data as rd
+
+    ds = rd.read_parquet(cdc_paths, columns=["_xid", "_op"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.unique(b.filter(pc.equal(b["_op"], pa.scalar("abort")))["_xid"])
+        return pa.table({"xid": x.cast(pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return np.unique(np.array([r["xid"] for r in rows], dtype=np.int64))
+
+
+def _strip_aborted(batch: pa.Table, aborted) -> pa.Table:
+    """Drop ops of aborted transactions plus the abort marker rows
+    themselves (markers are control rows, never data)."""
+    if aborted is None:
+        return batch
+    keep = pc.not_equal(batch["_op"], pa.scalar("abort")) \
+        .to_numpy(zero_copy_only=False)
+    if "_xid" in batch.column_names and len(aborted):
+        xid = batch["_xid"].to_numpy(zero_copy_only=False)
+        keep &= ~np.isin(xid, aborted)
+    return batch.filter(pa.array(keep))
+
+
 # -------------------------------------------------- tombstone shard pass
 
 def _tomb_dir(run_id: str) -> str:
@@ -269,17 +312,19 @@ class _TombstoneShardWriter:
     ])
 
     def __init__(self, root: str, run_id: str, cuts: list,
-                 key_columns: tuple, floor_lsn: int):
+                 key_columns: tuple, floor_lsn: int, aborted=None):
         self.root = root
         self.run_id = run_id
         self.cuts = list(cuts)
         self.key_columns = tuple(key_columns)
         self.floor = floor_lsn
+        self.aborted = aborted
         self.__name__ = "TombstoneShardWriter"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        batch = _strip_aborted(batch, self.aborted)
         fresh = batch.filter(
             pc.greater(batch["_lsn"], pa.scalar(self.floor, pa.int64())))
         n_fresh = fresh.num_rows
@@ -319,20 +364,23 @@ class _TombstoneShardWriter:
             rel = f"{uuid.uuid4().hex[:12]}.parquet"
             full = fs.full(f"{d}/{rel}")
             schema = pa.schema([("key", pa.string())])
-            writer = pq.ParquetWriter(full + ".tmp", schema,
-                                      compression="snappy", filesystem=fs.fs)
-            try:
-                for rg, (s, e) in enumerate(zip(starts, stops)):
-                    ks = np.sort(keys[s:e])  # canonical order within shard
-                    writer.write_table(
-                        pa.table({"key": pa.array(ks, pa.string())},
-                                 schema=schema),
-                        row_group_size=e - s)
-                    emit(0, shard=int(shard[s]), file=rel, rg=rg,
-                         count=int(e - s), k0_min=str(min(k0[s:e])),
-                         k0_max=str(max(k0[s:e])))
-            finally:
-                writer.close()
+            from ..runtime import page_write_throttle
+            with page_write_throttle():
+                writer = pq.ParquetWriter(full + ".tmp", schema,
+                                          compression="snappy",
+                                          filesystem=fs.fs)
+                try:
+                    for rg, (s, e) in enumerate(zip(starts, stops)):
+                        ks = np.sort(keys[s:e])  # canonical order per shard
+                        writer.write_table(
+                            pa.table({"key": pa.array(ks, pa.string())},
+                                     schema=schema),
+                            row_group_size=e - s)
+                        emit(0, shard=int(shard[s]), file=rel, rg=rg,
+                             count=int(e - s), k0_min=str(min(k0[s:e])),
+                             k0_max=str(max(k0[s:e])))
+                finally:
+                    writer.close()
             fs.fs.move(full + ".tmp", full)
         return pa.table(
             {k: pa.array(v, self._SUMMARY.field(k).type)
@@ -341,7 +389,8 @@ class _TombstoneShardWriter:
 
 def _tombstone_pass(root: str, run_id: str, snap: Snapshot,
                     cdc_paths: list[str], key_columns: tuple,
-                    floor_lsn: int, done: dict, cdc_ds=None) -> dict:
+                    floor_lsn: int, done: dict, cdc_ds=None,
+                    aborted=None) -> dict:
     """Run (or resume) the tombstone shard pass; returns the lineage
     record {files: {shard: [[file, rg], ...]}, ranges: {shard: [lo, hi]},
     n_fresh, max_lsn, tombstones}. ``cdc_ds`` (a pre-built column-pruned
@@ -358,7 +407,8 @@ def _tombstone_pass(root: str, run_id: str, snap: Snapshot,
     cdc = cdc_ds if cdc_ds is not None else rd.read_parquet(
         cdc_paths, columns=sorted(set(key_columns)) + ["_op", "_lsn"])
     summary = cdc.map_batches(
-        _TombstoneShardWriter(root, run_id, cuts, key_columns, floor_lsn),
+        _TombstoneShardWriter(root, run_id, cuts, key_columns, floor_lsn,
+                              aborted),
         batch_format="pyarrow").take_all()
     files: dict[str, list] = {}
     ranges: dict[str, list] = {}
@@ -480,12 +530,20 @@ def _affected_fragments(snap: Snapshot, ranges: dict, key0: str
 
 def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
           num_buckets: int | None = None,
-          key_columns: list[str] | None = None) -> Snapshot:
+          key_columns: list[str] | None = None,
+          cleanup: str = "inline") -> Snapshot:
     """Run MERGE INTO and commit a new snapshot; returns it.
 
     Idempotent: if every CDC op has lsn <= the table's max_lsn the call
     is a no-op returning the current snapshot. ``key_columns`` defaults
     to the table config's ``identity.key_columns``.
+
+    ``cleanup="defer"`` leaves the run's tmp/ scratch (tombstone shards)
+    for expire's orphan GC instead of deleting it inline — the async
+    scratch-GC pattern: bulk frees right after a commit contend with
+    the next job's page allocations (on this sandbox's host they
+    measurably poison the fault path; on a real cluster they compete
+    for the same file-system metadata path).
     """
     import ray
     import ray.data as rd
@@ -529,13 +587,20 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         write_lineage(root, run_id, "params",
                       {"kind": "merge-params", "num_buckets": B})
 
+    # streaming-transaction aborts (only when the CDC carries _xid):
+    # collect the aborted xid set once, before anything consumes ops
+    aborted = _aborted_xids(cdc_paths)
+
     # both CDC Datasets are CONSTRUCTED here on the main thread:
     # read_parquet construction races a lazy fsspec import inside Ray's
     # path resolution when two threads build readers concurrently
     # (observed: ImportError from a partially-imported module). The
     # threads below only attach stages and execute, which is safe.
-    tomb_ds = (None if done.get("tombstones") else rd.read_parquet(
-        cdc_paths, columns=sorted(set(key_columns)) + ["_op", "_lsn"]))
+    tomb_cols = sorted(set(key_columns)) + ["_op", "_lsn"]
+    if aborted is not None:
+        tomb_cols.append("_xid")
+    tomb_ds = (None if done.get("tombstones")
+               else rd.read_parquet(cdc_paths, columns=tomb_cols))
     fold_ds = rd.read_parquet(cdc_paths)
 
     # -- stage 0+1 (one thread): tombstone shard pass (distributed,
@@ -548,7 +613,7 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         tp = time.perf_counter()
         tomb_rec = _tombstone_pass(root, run_id, snap, cdc_paths,
                                    key_columns, floor_lsn, done,
-                                   cdc_ds=tomb_ds)
+                                   cdc_ds=tomb_ds, aborted=aborted)
         stage_sec["tombstone_sec"] = round(time.perf_counter() - tp, 3)
         if int(tomb_rec["n_fresh"]) == 0:
             return tomb_rec, []
@@ -582,6 +647,7 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
             new_metas.extend(FragmentMeta.from_dict(d) for d in rec["fragments"])
 
     def prep(batch: pa.Table) -> pa.Table:
+        batch = _strip_aborted(batch, aborted)
         batch = batch.filter(pc.greater(batch["_lsn"], pa.scalar(floor_lsn, pa.int64())))
         if batch.num_rows == 0:
             return batch.append_column("_bucket", pa.array([], pa.int64()))
@@ -643,5 +709,6 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                                   "dv_fragments": len(dv_metas),
                                   **stage_sec}},
                  expected_parent=snap.version)
-    for_root(root).delete_dir(f"tmp/merge-{run_id}")
+    if cleanup != "defer":
+        for_root(root).delete_dir(f"tmp/merge-{run_id}")
     return out

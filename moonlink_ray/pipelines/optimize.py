@@ -62,7 +62,8 @@ def optimize(root: str, *, run_id: str | None = None,
              hot_threshold: float = 0.001,
              num_buckets: int | None = None,
              curve: str = "zorder",
-             exchange: str = "spill") -> Snapshot | None:
+             exchange: str = "spill",
+             cleanup: str = "inline") -> Snapshot | None:
     """One-pass compact + cluster; returns the new snapshot.
 
     ``mode="full"`` rewrites the whole table; ``mode="incremental"``
@@ -84,4 +85,4 @@ def optimize(root: str, *, run_id: str | None = None,
                    num_buckets=num_buckets, curve=curve, exchange=exchange,
                    fragment_target_bytes=cfg.output_target_bytes,
                    reencode_psnr=cfg.verify_psnr_db, only_fragments=only,
-                   job_kind="optimize")
+                   job_kind="optimize", cleanup=cleanup)
