@@ -30,6 +30,25 @@ STATS_COLUMNS = ("image_id", "phash", "w", "h")
 # drags image bytes through memory.
 ROW_GROUP_SIZE = 256
 
+# FullRow-identity tables persist the 64-bit row hash as a hidden
+# stored column, computed once at write time — the batch analog of
+# moonlink building its hash index when a disk slice is written
+# (``persisted_bucket_hash_map.rs``): MERGE's delete matching then
+# reads ONLY this column instead of re-hashing whole rows (image bytes
+# included) on every merge. Hidden: scans drop it unless explicitly
+# requested.
+ROWHASH_COL = "_rowhash"
+_FULLROW_CACHE: dict[str, bool] = {}
+
+
+def _is_fullrow(root: str) -> bool:
+    got = _FULLROW_CACHE.get(root)
+    if got is None:
+        from .table_config import load_table_config
+        got = _FULLROW_CACHE[root] = \
+            load_table_config(root).identity.mode == "fullrow"
+    return got
+
 
 def _col_stats(table: pa.Table) -> dict[str, list]:
     stats: dict[str, list] = {}
@@ -53,6 +72,10 @@ def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
                    zgen: str | None = None) -> FragmentMeta:
     """Write one immutable fragment and return its manifest entry."""
     fs = for_root(root)
+    if ROWHASH_COL not in table.column_names and _is_fullrow(root):
+        from .stages.keys import row_hash
+        table = table.append_column(
+            ROWHASH_COL, pa.array(row_hash(table), pa.int64()))
     rel = fragment_path(fragment_id)
     # image payloads are already codec-compressed: dictionary encoding
     # and snappy on the binary column only burn a write-path memory pass
@@ -87,6 +110,10 @@ def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = Non
         have = set(fs.parquet_schema(meta.path).names)
         columns = [c for c in columns if c in have]
     table = fs.read_parquet(meta.path, columns=columns)
+    if columns is None and ROWHASH_COL in table.column_names:
+        # hidden identity column (FullRow tables): scans never surface
+        # it unless a caller asks for it by name
+        table = table.drop_columns([ROWHASH_COL])
     if with_pos or (apply_dv and meta.dv):
         pos = np.arange(table.num_rows, dtype=np.int64)
         if apply_dv and meta.dv:

@@ -37,11 +37,13 @@ Row identity (``IdentityProp``, ``row/moonlink_row.rs:270-350``): the
 table's config declares ``identity.key_columns`` — one column
 (SinglePrimitiveKey analog; default ``image_id``) or several (the
 ``Keys(vec)`` composite mode; canonical key = separator-joined string
-casts, ``stages/keys.canonical_keys``). Known simplification vs
-moonlink: base fragments hold at most one copy per key (bootstrap +
-MERGE maintain this), so a tombstone kills all base positions of its
-key; FullRow duplicate identity (``moonlink_row.rs:343-349``) is out of
-scope for keyed tables.
+casts, ``stages/keys.canonical_keys``) — or ``identity.mode =
+"fullrow"`` (REPLICA IDENTITY FULL analog, ``moonlink_row.rs:343-349``):
+no key, the 64-bit row hash is the identity, duplicates allowed, and a
+delete kills exactly one instance (see ``_merge_fullrow``). Known
+simplification for KEYED tables vs moonlink: base fragments hold at
+most one copy per key (bootstrap + MERGE maintain this), so a tombstone
+kills all base positions of its key.
 
 Semantics preserved (SURVEY.md §2.4):
 - upsert = delete-if-exists + append at one LSN
@@ -96,8 +98,9 @@ _MAX_TOMB_SHARDS = 256
 
 
 def _fold_bucket(group: pa.Table,
-                 key_columns: tuple | list = ("image_id",)
-                 ) -> tuple[np.ndarray, int]:
+                 key_columns: tuple | list = ("image_id",),
+                 kcode: np.ndarray | None = None,
+                 return_misses: bool = False):
     """Apply a bucket's ops in total order; return surviving row indices
     (into ``group``) and the max LSN applied.
 
@@ -123,7 +126,8 @@ def _fold_bucket(group: pa.Table,
     """
     n = group.num_rows
     if n == 0:
-        return np.empty(0, dtype=np.int64), -1
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, -1, empty, empty) if return_misses else (empty, -1)
     lsn = group["_lsn"].to_numpy(zero_copy_only=False)
     seq = group["_seq"].to_numpy(zero_copy_only=False)
     # all string work stays in Arrow kernels: op masks via pc.equal,
@@ -134,7 +138,8 @@ def _fold_bucket(group: pa.Table,
     is_up_all = pc.equal(group["_op"], pa.scalar("upsert")) \
         .to_numpy(zero_copy_only=False)
     rank = np.where(is_del_all, 0, 1).astype(np.int8)
-    kcode = key_codes(group, list(key_columns))
+    if kcode is None:
+        kcode = key_codes(group, list(key_columns))
     order = np.lexsort((rank, seq, lsn, kcode))  # key-major, then time
 
     kcode_o = kcode[order]
@@ -164,7 +169,14 @@ def _fold_bucket(group: pa.Table,
     add_rank = add_cum - np.repeat(add_before, seg_lens) - 1
     keep = is_add & (add_rank >= np.repeat(s, seg_lens))
     survivors = np.sort(order[ev_op[keep]])
-    return survivors, int(lsn.max())
+    if not return_misses:
+        return survivors, int(lsn.max())
+    # per-key missed pops = deletes that fall through to the base table
+    # (FullRow mode consumes these with exact counts)
+    misses = np.maximum(0, -min_prefix)
+    hit = misses > 0
+    miss_keys = ev_key[seg_starts][hit]
+    return survivors, int(lsn.max()), miss_keys, misses[hit]
 
 
 def _chunk_by_bytes(table: pa.Table, target: int) -> list[pa.Table]:
@@ -225,6 +237,233 @@ class _BucketMerge:
         })
         return pa.table({"meta": pa.array([json.dumps(asdict(m)) for m in metas],
                                           pa.string())})
+
+
+# --------------------------------------------------- FullRow identity mode
+
+class _BucketMergeFullrow:
+    """map_groups callable for FullRow tables: fold keyed on the 64-bit
+    row hash (duplicates stack; a delete kills exactly one pending
+    instance), write survivors, and report the fall-through delete
+    COUNTS per row hash — the exact number of base-table instances each
+    key must lose (``snapshot.rs:818-824`` positional-zip analog)."""
+
+    def __init__(self, root: str, run_id: str,
+                 schema_list: list | None = None):
+        from ..schema import schema_from_list
+        self.root = root
+        self.run_id = run_id
+        self.schema = schema_from_list(schema_list) or IMAGES_SCHEMA
+        self.__name__ = "BucketMergeFullrow"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from ..schema import conform_table
+        from ..stages.keys import row_hash
+        tp = time.perf_counter()
+        bucket = int(group["_bucket"][0].as_py())
+        kcode = group["_rhash"].to_numpy(zero_copy_only=False)
+        survivors, max_lsn, miss_keys, miss_counts = _fold_bucket(
+            group, kcode=kcode, return_misses=True)
+        metas = []
+        if len(survivors):
+            out = conform_table(group.take(survivors), self.schema,
+                                keep_extra=())
+            for n, chunk in enumerate(_chunk_by_bytes(out, _FRAGMENT_BYTES)):
+                frag_id = f"frag-{self.run_id}-b{bucket:05d}-{n:03d}"
+                metas.append(write_fragment(self.root, chunk, frag_id,
+                                            lineage=[], max_lsn=max_lsn))
+        write_lineage(self.root, self.run_id, f"bucket-{bucket:05d}", {
+            "kind": "merge-bucket", "bucket": bucket, "max_lsn": max_lsn,
+            "fragments": [asdict(m) for m in metas],
+            "misses": {str(int(k)): int(c)
+                       for k, c in zip(miss_keys, miss_counts)},
+            "wall_sec": round(time.perf_counter() - tp, 3),
+        })
+        rows = [json.dumps(asdict(m)) for m in metas]
+        return pa.table({"kind": pa.array([0] * len(rows) + [1], pa.int8()),
+                         "meta": pa.array(rows + [""], pa.string()),
+                         "max_lsn": pa.array([0] * len(rows) + [max_lsn],
+                                             pa.int64())})
+
+
+class _FullrowCandidates:
+    """map_batches over fragment metas: read only the stored _rowhash
+    column (live rows), match the fall-through delete hashes, emit
+    (hash, fragment, pos) candidate rows. Pre-rowhash fragments fall
+    back to hashing their full rows."""
+
+    def __init__(self, root: str, miss_ref):
+        self.root = root
+        self.miss_ref = miss_ref
+        self._miss = None
+
+    def _misses(self) -> np.ndarray:
+        if self._miss is None:
+            import ray
+            self._miss = (ray.get(self.miss_ref)
+                          if hasattr(self.miss_ref, "hex") else self.miss_ref)
+        return self._miss
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fragments import ROWHASH_COL
+        from ..fs import for_root as _fr
+        from ..stages.keys import row_hash
+        miss = self._misses()
+        out_h, out_f, out_p = [], [], []
+        for row in batch.to_pylist():
+            meta = FragmentMeta.from_dict(json.loads(row["meta"]))
+            have = ROWHASH_COL in _fr(self.root) \
+                .parquet_schema(meta.path).names
+            if have:
+                t = read_fragment(self.root, meta, columns=[ROWHASH_COL],
+                                  with_pos=True)
+                h = t[ROWHASH_COL].to_numpy(zero_copy_only=False)
+            else:
+                t = read_fragment(self.root, meta, with_pos=True)
+                h = row_hash(t.drop_columns(["_pos"]))
+            hitpos = np.isin(h, miss)
+            if hitpos.any():
+                pos = t["_pos"].to_numpy()[hitpos]
+                hs = h[hitpos]
+                out_h.extend(int(x) for x in hs)
+                out_f.extend([meta.fragment_id] * len(hs))
+                out_p.extend(int(p) for p in pos)
+        return pa.table({"hash": pa.array(out_h, pa.int64()),
+                         "frag": pa.array(out_f, pa.string()),
+                         "pos": pa.array(out_p, pa.int64())})
+
+
+def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
+                   num_buckets: int | None = None,
+                   cleanup: str = "inline") -> Snapshot:
+    """MERGE for FullRow-identity tables (REPLICA IDENTITY FULL): ops
+    carry whole rows; identity = 64-bit row hash; duplicates allowed;
+    each fall-through delete kills EXACTLY ONE base instance, chosen
+    deterministically as the earliest (fragment_id, pos).
+
+    Scale notes: the fold shuffles only CDC rows (bucketed by row
+    hash); delete matching reads only the stored _rowhash column of
+    each fragment (no zone-map pruning is possible for a hash
+    identity — the reference pays the same with its full-row hash
+    index probe); the fall-through set and its candidate positions are
+    O(unmatched deletes) — broadcast via ray.put and assigned on the
+    driver (bounded by the CDC's delete count, NOT by table size)."""
+    import ray
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    snap = load(root)
+    floor_lsn = snap.max_lsn
+    done = read_lineage(root, run_id)
+    aborted = _aborted_xids(cdc_paths)
+
+    params = done.get("params")
+    if params:
+        B = int(params["num_buckets"])
+    else:
+        import pyarrow.parquet as pq
+        n_rows = sum(pq.read_metadata(p).num_rows for p in cdc_paths)
+        n_cpus = int(ray.cluster_resources().get("CPU", 4))
+        B = num_buckets or int(np.clip(max(n_rows // 500, 4 * n_cpus),
+                                       1, 4096))
+        write_lineage(root, run_id, "params",
+                      {"kind": "merge-params", "num_buckets": B,
+                       "mode": "fullrow"})
+
+    done_buckets = {rec["bucket"] for k, rec in done.items()
+                    if k.startswith("bucket-")}
+    new_metas: list[FragmentMeta] = []
+    cdc_max_lsn = floor_lsn
+    for k, rec in done.items():
+        if k.startswith("bucket-"):
+            new_metas.extend(FragmentMeta.from_dict(d)
+                             for d in rec["fragments"])
+            cdc_max_lsn = max(cdc_max_lsn, int(rec["max_lsn"]))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..stages.keys import row_hash
+        batch = _strip_aborted(batch, aborted)
+        batch = batch.filter(
+            pc.greater(batch["_lsn"], pa.scalar(floor_lsn, pa.int64())))
+        if batch.num_rows == 0:
+            batch = batch.append_column("_rhash", pa.array([], pa.int64()))
+            return batch.append_column("_bucket", pa.array([], pa.int64()))
+        rh = row_hash(batch)
+        b = (rh.view(np.uint64) % np.uint64(B)).astype(np.int64)
+        batch = batch.append_column("_rhash", pa.array(rh, pa.int64()))
+        batch = batch.append_column("_bucket", pa.array(b, pa.int64()))
+        if done_buckets:
+            batch = batch.filter(pa.array(~np.isin(b, list(done_buckets))))
+        return batch
+
+    folded = rd.read_parquet(cdc_paths) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("_bucket").map_groups(
+            _BucketMergeFullrow(root, run_id, snap.schema),
+            batch_format="pyarrow").take_all()
+    any_fresh = bool(folded) or bool(done_buckets)
+    if not any_fresh:
+        return snap  # duplicate replay -> no-op
+    for r in folded:
+        if r["kind"] == 0:
+            new_metas.append(FragmentMeta.from_dict(json.loads(r["meta"])))
+        else:
+            cdc_max_lsn = max(cdc_max_lsn, int(r["max_lsn"]))
+    # miss counts from ALL bucket lineage (including this run's)
+    misses: dict[int, int] = {}
+    for k, rec in read_lineage(root, run_id).items():
+        if k.startswith("bucket-"):
+            for h, c in rec.get("misses", {}).items():
+                misses[int(h)] = misses.get(int(h), 0) + int(c)
+
+    # delete-exactly-N: gather candidate (hash, frag, pos) rows for the
+    # fall-through hashes, assign the earliest N per hash, write DVs
+    dv_metas: dict[str, FragmentMeta] = {}
+    if misses:
+        miss_arr = np.array(sorted(misses), dtype=np.int64)
+        miss_ref = ray.put(miss_arr)
+        items = [{"meta": json.dumps(asdict(f))} for f in snap.fragments
+                 if f.rows > 0]
+        cands = rd.from_items(items, override_num_blocks=max(1, len(items))) \
+            .map_batches(_FullrowCandidates(root, miss_ref), batch_size=1,
+                         batch_format="pyarrow").take_all()
+        cands.sort(key=lambda r: (r["hash"], r["frag"], r["pos"]))
+        kills: dict[str, list[int]] = {}
+        left = dict(misses)
+        for r in cands:
+            h = int(r["hash"])
+            if left.get(h, 0) > 0:
+                left[h] -= 1
+                kills.setdefault(r["frag"], []).append(int(r["pos"]))
+        by_id = snap.frag_by_id()
+        for frag_id, dead in kills.items():
+            meta = by_id[frag_id]
+            new_dead = np.asarray(dead, dtype=np.int64)
+            if meta.dv:
+                from ..fragments import read_dv
+                new_dead = np.union1d(new_dead, read_dv(root, meta.dv))
+            dv_ref = write_dv(root, f"dv-{run_id}-{frag_id}", new_dead)
+            dv_metas[frag_id] = FragmentMeta(**{**asdict(meta),
+                                                "dv": dv_ref})
+
+    final: list[FragmentMeta] = []
+    for f in snap.fragments:
+        m = dv_metas.get(f.fragment_id, f)
+        if m.live_rows > 0:
+            final.append(m)
+    final.extend(m for m in new_metas if m.rows > 0)
+    final.sort(key=lambda m: m.fragment_id)
+    out = commit(root, final, max_lsn=max(cdc_max_lsn, floor_lsn),
+                 job={"kind": "merge", "run_id": run_id, "mode": "fullrow",
+                      "cdc_paths": sorted(cdc_paths), "num_buckets": B,
+                      "metrics": {
+                          "wall_sec": round(time.perf_counter() - t0, 3),
+                          "fullrow_fallthrough": int(sum(misses.values())),
+                          "dv_fragments": len(dv_metas)}},
+                 expected_parent=snap.version)
+    if cleanup != "defer":
+        for_root(root).delete_dir(f"tmp/merge-{run_id}")
+    return out
 
 
 # -------------------------------------------- streaming-transaction abort
@@ -556,7 +795,11 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
     floor_lsn = snap.max_lsn
     if key_columns is None:
         from ..table_config import load_table_config
-        key_columns = list(load_table_config(root).identity.key_columns)
+        ident = load_table_config(root).identity
+        if ident.mode == "fullrow":
+            return _merge_fullrow(root, cdc_paths, run_id=run_id,
+                                  num_buckets=num_buckets, cleanup=cleanup)
+        key_columns = list(ident.key_columns)
     key_columns = tuple(key_columns)
 
     done = read_lineage(root, run_id)

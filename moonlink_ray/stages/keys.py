@@ -49,6 +49,29 @@ def canonical_key_column(table: pa.Table, key_columns: list[str]):
     return col
 
 
+def row_hash(table: pa.Table, columns: list[str] | None = None) -> np.ndarray:
+    """Stable 64-bit full-row identity hash (int64) — the FullRow
+    identity mode's key (``/root/reference/src/moonlink/src/row/
+    moonlink_row.rs:343-349``: AHash over every value; duplicates
+    allowed, identity is the whole row). Hashes the non-internal
+    columns (names not starting with ``_``) in table order with an
+    order-sensitive FNV-style combine; stable across processes
+    (pandas' fixed default hash key). 64-bit hash equality IS the
+    identity — same engineering tradeoff as the reference's hashed
+    full-row index probe."""
+    import pandas as pd
+
+    if columns is None:
+        columns = [c for c in table.column_names if not c.startswith("_")]
+    h = np.zeros(table.num_rows, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for c in columns:
+        ch = pd.util.hash_array(
+            np.asarray(table[c].to_numpy(zero_copy_only=False)))
+        h = (h * prime) ^ ch.astype(np.uint64)
+    return h.view(np.int64)
+
+
 def key_codes(table: pa.Table, key_columns: list[str]) -> np.ndarray:
     """Distinct int code per canonical key (Arrow dictionary encode —
     C-speed hash grouping, no object-array sort)."""

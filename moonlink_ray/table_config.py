@@ -36,11 +36,15 @@ CONFIG_REL = "config.json"
 class IdentityConfig:
     """Row-identity declaration — the analog of moonlink's IdentityProp
     (``/root/reference/src/moonlink/src/row/moonlink_row.rs:270-350``).
-    ``key_columns`` of length 1 = SinglePrimitiveKey; length > 1 = the
-    ``Keys(vec)`` composite mode (MERGE/dedup key on the canonical
-    joined key, zone-map pruning on the first column). FullRow identity
-    is out of scope (documented in pipelines/merge.py)."""
+    ``mode="keys"`` (default): ``key_columns`` of length 1 =
+    SinglePrimitiveKey; length > 1 = the ``Keys(vec)`` composite mode
+    (MERGE/dedup key on the canonical joined key, zone-map pruning on
+    the first column). ``mode="fullrow"``: no key — the whole row is
+    the identity (REPLICA IDENTITY FULL analog, moonlink_row.rs:343-349);
+    duplicates allowed, a delete kills exactly one instance;
+    ``key_columns`` is ignored."""
     key_columns: list = field(default_factory=lambda: ["image_id"])
+    mode: str = "keys"
 
 
 @dataclass
