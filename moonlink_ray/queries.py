@@ -351,6 +351,109 @@ def maint_scan_prune(sf_dir: str):
                           batch_size=None)
 
 
+def maint_xact_abort(sf_dir: str):
+    """Streaming-transaction aborts: the fixture CDC gains _xid =
+    _lsn % 7 plus one abort marker for xid 3 — every op of that
+    transaction must vanish from the merge (transaction_stream.rs
+    analog). Oracle = the merge SQL over the CDC with xid-3 rows
+    excluded."""
+    import json as _json
+    import os
+
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "xact")
+    cdc_xact = os.path.join(DATA_ROOT, _sf_name(sf_dir), "cdc_xact.parquet")
+    marker = cdc_xact + ".fp.json"
+    fp = {"src": fix["cdc"], "synthv": synth.SYNTH_VERSION, "v": 1}
+    stale = True
+    if os.path.exists(cdc_xact) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = _json.load(f) != fp
+    if stale:
+        t = pq.read_table(fix["cdc"])
+        xid = pa.array(t["_lsn"].to_numpy(zero_copy_only=False) % 7,
+                       pa.int64())
+        t = t.append_column("_xid", xid)
+        mark = {c: [None] for c in t.column_names}
+        mark["image_id"] = ["xact-abort-marker"]
+        mark["_op"] = ["abort"]
+        mark["_lsn"] = [int(pc.max(t["_lsn"]).as_py()) + 1]
+        mark["_seq"] = [0]
+        mark["_xid"] = [3]
+        t = pa.concat_tables([t, pa.table(
+            {c: pa.array(mark[c], t.schema.field(c).type)
+             for c in t.column_names}, schema=t.schema)])
+        pq.write_table(t, cdc_xact + ".tmp")
+        os.replace(cdc_xact + ".tmp", cdc_xact)
+        with open(marker, "w") as f:
+            _json.dump(fp, f)
+    merge(root, cdc_xact)
+    return _scan_digested(root)
+
+
+def maint_fullrow(sf_dir: str):
+    """FullRow identity (REPLICA IDENTITY FULL): a table with duplicate
+    full rows; deletes kill exactly one instance, identical inserts
+    stack. Oracle = multiset count arithmetic over the base dump."""
+    import json as _json
+    import os
+
+    from .bootstrap import append_dataset
+    from .manifest import init_table
+    from .table_config import set_table_config
+
+    fix = ensure_images_fixture(sf_dir)
+    base_dir = os.path.join(DATA_ROOT, _sf_name(sf_dir))
+    pristine = os.path.join(base_dir, "fullrow-table")
+    marker = pristine + ".fp.json"
+    fp = {"src": fix["base_dump"], "synthv": synth.SYNTH_VERSION, "v": 1}
+    stale = True
+    if os.path.isdir(pristine) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = _json.load(f) != fp
+    dump = pq.read_table(fix["base_dump"])
+    ids = {k: synth.image_id(i) for k, i in
+           (("d0", 0), ("d1", 1), ("u7", 7), ("i2", 2))}
+    if stale:
+        shutil.rmtree(pristine, ignore_errors=True)
+        init_table(pristine)
+        set_table_config(pristine, {"identity.mode": "fullrow"})
+        dups = pa.concat_tables([
+            dump.filter(pc.equal(dump["image_id"], ids["d0"])),
+            dump.filter(pc.equal(dump["image_id"], ids["d1"])),
+            dump.filter(pc.equal(dump["image_id"], ids["d1"]))])
+        append_dataset(pristine, pa.concat_tables([dump, dups]), max_lsn=0)
+        with open(marker, "w") as f:
+            _json.dump(fp, f)
+    root = pristine + "-run"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    shutil.copytree(pristine, root, copy_function=os.link)
+
+    # CDC from base content (full-row identity needs byte-identical
+    # old-row values): kill one of d0's 2 copies, one of d1's 3, the
+    # unique u7; stack i2 twice then delete one in-batch (net +1)
+    def row_of(iid):
+        return dump.filter(pc.equal(dump["image_id"], iid))
+
+    parts = []
+    for k, (iid, op, lsn) in enumerate((
+            (ids["d0"], "delete", 1001), (ids["d1"], "delete", 1002),
+            (ids["u7"], "delete", 1003), (ids["i2"], "insert", 1004),
+            (ids["i2"], "insert", 1005), (ids["i2"], "delete", 1006))):
+        r = row_of(iid)
+        r = r.append_column("_op", pa.array([op], pa.string()))
+        r = r.append_column("_lsn", pa.array([lsn], pa.int64()))
+        r = r.append_column("_seq", pa.array([0], pa.int64()))
+        parts.append(r)
+    cdc_path = os.path.join(base_dir, "cdc_fullrow.parquet")
+    pq.write_table(pa.concat_tables(parts).cast(synth.CDC_SCHEMA),
+                   cdc_path + ".tmp")
+    os.replace(cdc_path + ".tmp", cdc_path)
+    merge(root, cdc_path)
+    return _scan_digested(root)
+
+
 def img_decode_stats(sf_dir: str):
     """Multimodal plumbing: actor-pool decode over the image table."""
     from .sources.scan import scan
@@ -864,6 +967,8 @@ def queries():
         "maint_schema_alter": maint_schema_alter,
         "maint_json_append": maint_json_append,
         "maint_scan_prune": maint_scan_prune,
+        "maint_xact_abort": maint_xact_abort,
+        "maint_fullrow": maint_fullrow,
         "img_decode_stats": img_decode_stats,
         "img_phash_check": img_phash_check,
         "img_resize": img_resize,
@@ -924,6 +1029,41 @@ merged AS (
 SELECT {_DIGEST_COLS} FROM merged
 """
 
+# xact-abort oracle: the merge SQL over the CDC with transaction 3's
+# ops excluded (xid := _lsn % 7, mirroring maint_xact_abort's
+# deterministic xid assignment; the abort marker row itself exists only
+# in the derived cdc_xact parquet, never here)
+_XACT_MERGED_SQL = _MERGED_SQL.replace(
+    f"cdc AS (SELECT * FROM read_parquet({_MAINT_CDC}))",
+    f"cdc AS (SELECT * FROM read_parquet({_MAINT_CDC}) WHERE _lsn % 7 <> 3)")
+
+
+def _fullrow_sql() -> str:
+    """Multiset oracle for maint_fullrow: base dump + dups of rows 0 and
+    1 (x2/x3 copies); CDC kills one copy each of rows 0/1, the unique
+    row 7, and nets +1 copy of row 2 (insert, insert, delete-one)."""
+    d0, d1, u7, i2 = (f"'img-{i:012d}'" for i in (0, 1, 7, 2))
+    return f"""
+WITH dump AS (SELECT image_id, bytes, w, h, fmt, caption, phash
+              FROM read_parquet({_MAINT_BASE})),
+fbase AS (
+  SELECT * FROM dump
+  UNION ALL SELECT * FROM dump WHERE image_id IN ({d0}, {d1})
+  UNION ALL SELECT * FROM dump WHERE image_id = {d1}),
+counts AS (
+  SELECT image_id, bytes, w, h, fmt, caption, phash, COUNT(*) AS c
+  FROM fbase GROUP BY ALL),
+adj AS (
+  SELECT *, c
+   + CASE WHEN image_id = {i2} THEN 1 ELSE 0 END
+   - CASE WHEN image_id IN ({d0}, {d1}, {u7}) THEN 1 ELSE 0 END AS fc
+  FROM counts),
+final AS (
+  SELECT image_id, bytes, w, h, fmt, caption, phash
+  FROM adj CROSS JOIN UNNEST(range(adj.fc)) AS t(i))
+SELECT {_DIGEST_COLS} FROM final"""
+
+
 _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
           "AS BIGINT)")
 
@@ -959,6 +1099,8 @@ def oracle_sql():
         "maint_scan_prune": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE}) "
                             f"WHERE phash BETWEEN 0 AND {2 ** 61}",
+        "maint_xact_abort": _XACT_MERGED_SQL,
+        "maint_fullrow": _fullrow_sql(),
         "rel_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
