@@ -454,10 +454,16 @@ def cluster(root: str, *, run_id: str | None = None,
       their recorded row groups — an external shuffle (Spark/Cosco-
       style) that rides the object store on multi-node deployments,
       keeps plasma out of the wide path, and makes the exchange itself
-      resumable (the recorded spill survives a kill). Measured strictly
-      faster than plasma on this workload at every width tried (each
-      image byte is written once and read once; the groupby path hops
-      it through the object store several times).
+      resumable (the recorded spill survives a kill). Measured faster
+      than plasma on the round-1 fixture (256-row fragments) at both
+      widths tried — each image byte is written once and read once,
+      while the groupby path hops it through the object store several
+      times. CAVEAT (round 2/3): on the current bench fixture
+      (64-row fragments, ~470 inputs) both exchanges are dominated by
+      the sandbox host's first-touch page path (BENCH/BASELINE.md),
+      which swings 100x between runs; the round-2 standalone-cluster
+      regression (26→266 s) was that weather, not an exchange
+      property, and neither exchange is "strictly" faster under it.
     - ``"plasma"``: derive -> ``groupby(_zb).map_groups`` — the
       Ray-native in-memory exchange; kept for clusters whose object
       store comfortably holds the shard and whose shared filesystem is
@@ -621,11 +627,20 @@ def cluster(root: str, *, run_id: str | None = None,
             items = rd.from_items([{"zb": b} for b in todo],
                                   override_num_blocks=max(
                                       1, len(todo) // bundle))
+            # MLRAY_BUCKET_TASK_CPUS > 1 halves (etc.) the number of
+            # CONCURRENT bucket tasks without changing total work —
+            # the per-stage concurrency x num_cpus sizing knob for
+            # hosts where the stage is bound by a shared per-node
+            # resource (page-allocation path, memory bandwidth) rather
+            # than cores. Default 1 (healthy hardware: full width).
+            import os as _os
+            task_cpus = float(_os.environ.get("MLRAY_BUCKET_TASK_CPUS", "1"))
             rows = items.map_batches(
                 _BucketSort(root, run_id, files_ref, fragment_target_bytes,
                             snap.max_lsn, out_schema.names, sources,
                             snap.schema, reencode_psnr),
-                batch_size=bundle, batch_format="pyarrow").take_all()
+                batch_size=bundle, batch_format="pyarrow",
+                num_cpus=task_cpus).take_all()
             new_metas.extend(FragmentMeta.from_dict(json.loads(r["meta"]))
                              for r in rows)
         phase_sec["bucket_sort"] = round(time.perf_counter() - tp, 3)

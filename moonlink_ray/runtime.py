@@ -123,4 +123,42 @@ def tune_allocator() -> bool:
             pa.set_io_thread_count(2)
     except Exception:
         pass
+    _prewarm_worker_heap()
     return True
+
+
+def _prewarm_worker_heap() -> None:
+    """Fault each Ray worker's retained heaps ONCE at startup, through
+    the page-write throttle.
+
+    With allocator retention on, a worker's working set is faulted
+    exactly once — but by default all N workers fault theirs
+    CONCURRENTLY at first-task time, which is precisely the pattern
+    that collapses the host's first-touch path (see
+    page_write_throttle; measured: the bench suite's fault probe reads
+    5-11 GB/s before a run and 0.09 after). Warming both allocator
+    pools (glibc brk via numpy, Arrow's jemalloc via allocate_buffer)
+    under the throttle moves those faults to worker startup, at most
+    8-wide, overlapped with already-warm workers' compute.
+
+    MLRAY_WORKER_PREFAULT_MB sizes it (default 384; 0 disables); only
+    Ray worker processes do it — the driver has its own bench-time
+    prefault."""
+    import sys
+    mb = int(os.environ.get("MLRAY_WORKER_PREFAULT_MB", "384"))
+    if mb <= 0 or "default_worker" not in (sys.argv[0] if sys.argv else ""):
+        return
+    try:
+        import numpy as np
+        import pyarrow as pa
+        half = (mb // 2) << 20
+        with page_write_throttle():
+            a = np.empty(half, dtype=np.uint8)
+            a[::4096] = 1
+            del a
+            buf = pa.allocate_buffer(half, resizable=False)
+            m = memoryview(buf).cast("B")
+            m[::4096] = b"\x01" * len(m[::4096])
+            del m, buf
+    except Exception:
+        pass
