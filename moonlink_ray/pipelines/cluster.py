@@ -339,19 +339,38 @@ class _DeriveSpill:
         rel = f"{tag}.parquet"
         full = fs.full(f"{spill}/{rel}")
         out_zb, out_rows = [], []
+        import pyarrow.fs as pafs
+
         from ..runtime import page_write_throttle
+        local = isinstance(fs.fs, pafs.LocalFileSystem)
         with page_write_throttle():
-            writer = pq.ParquetWriter(full + ".tmp", sorted_t.schema,
-                                      compression="NONE", filesystem=fs.fs)
+            if local:
+                # recycle retired scratch pages (pagepool): spill is the
+                # suite's biggest single page allocation (~table bytes)
+                from ..pagepool import PooledSink
+                sink = PooledSink(full, size_hint=int(sorted_t.nbytes))
+            else:
+                sink = None
+            writer = pq.ParquetWriter(
+                sink if sink is not None else full + ".tmp",
+                sorted_t.schema, compression="NONE",
+                filesystem=None if sink is not None else fs.fs)
             try:
                 for s, e in zip(starts, stops):
                     part = sorted_t.slice(s, e - s)
                     writer.write_table(part, row_group_size=part.num_rows)
                     out_zb.append(int(zb_sorted[s]))
                     out_rows.append(part.num_rows)
-            finally:
+            except BaseException:
                 writer.close()
-        fs.fs.move(full + ".tmp", full)
+                if sink is not None:
+                    sink.abort()
+                raise
+            writer.close()
+        if sink is not None:
+            sink.commit()
+        else:
+            fs.fs.move(full + ".tmp", full)
         n = len(out_zb)
         return pa.table({"zb": pa.array(out_zb, pa.int64()),
                          "rows": pa.array(out_rows, pa.int64()),
@@ -664,7 +683,7 @@ def cluster(root: str, *, run_id: str | None = None,
         # "defer" leaves the spill for expire's scratch GC (see
         # merge.merge docstring: bulk frees right after a commit poison
         # the next job's page allocations)
-        for_root(root).delete_dir(f"tmp/cluster-{run_id}")
+        for_root(root).retire_dir(f"tmp/cluster-{run_id}")
     return out
 
 

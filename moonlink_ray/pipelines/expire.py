@@ -54,14 +54,14 @@ def _delete_files(root: str, rel_paths: list[str]) -> int:
 
         def rm(batch: pa.Table) -> pa.Table:
             fs = for_root(root)
-            n = sum(1 for p in batch["path"].to_pylist() if fs.delete(p))
+            n = sum(1 for p in batch["path"].to_pylist() if fs.retire(p))
             return pa.table({"n": pa.array([n], pa.int64())})
 
         ds = rd.from_items([{"path": p} for p in rel_paths])
         return sum(r["n"] for r in
                    ds.map_batches(rm, batch_format="pyarrow").take_all())
     fs = for_root(root)
-    return sum(1 for p in rel_paths if fs.delete(p))
+    return sum(1 for p in rel_paths if fs.retire(p))
 
 
 def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict:
@@ -116,9 +116,9 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
         for name in fs.listdir("tmp"):
             rel = f"tmp/{name}"
             if fs.is_dir(rel):
-                fs.delete_dir(rel)
+                fs.retire_dir(rel)
             else:
-                fs.delete(rel)
+                fs.retire(rel)
             removed_tmp += 1
 
     return {"retained_versions": retained, "expired_versions": expired,

@@ -462,7 +462,7 @@ def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
                           "dv_fragments": len(dv_metas)}},
                  expected_parent=snap.version)
     if cleanup != "defer":
-        for_root(root).delete_dir(f"tmp/merge-{run_id}")
+        for_root(root).retire_dir(f"tmp/merge-{run_id}")
     return out
 
 
@@ -925,7 +925,7 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
     if n_ops == 0:
         # duplicate replay -> no-op (the concurrent fold saw only stale
         # LSNs, so it wrote nothing either)
-        for_root(root).delete_dir(f"tmp/merge-{run_id}")
+        for_root(root).retire_dir(f"tmp/merge-{run_id}")
         return snap
     cdc_max_lsn = int(tomb_rec["max_lsn"])
     for r in dv_rows:
@@ -953,5 +953,5 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
                                   **stage_sec}},
                  expected_parent=snap.version)
     if cleanup != "defer":
-        for_root(root).delete_dir(f"tmp/merge-{run_id}")
+        for_root(root).retire_dir(f"tmp/merge-{run_id}")
     return out

@@ -138,7 +138,8 @@ def _fresh_copy(fix: dict, tag: str) -> str:
     interfere. Turns a ~9 GB setup copy into a metadata-only clone."""
     dst = fix["root"] + "-" + tag
     if os.path.exists(dst):
-        shutil.rmtree(dst)
+        from .pagepool import retire_tree
+        retire_tree(dst)
     shutil.copytree(fix["root"], dst, copy_function=os.link)
     return dst
 
