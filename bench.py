@@ -112,6 +112,8 @@ def run_suite(rep: int = 0) -> dict:
     scan(root, columns=["image_id", "phash"]).count()
     fault0 = settle_fault_path()  # untimed; see fault_weather
 
+    from moonlink_ray import pagepool
+    pool0 = pagepool.stats(root)
     stages = {}
     t0 = time.perf_counter()
     t = time.perf_counter()
@@ -128,13 +130,16 @@ def run_suite(rep: int = 0) -> dict:
     stages["expire"] = round(time.perf_counter() - t, 3)
     total = time.perf_counter() - t0
     fault1 = fault_weather()
+    pool1 = pagepool.stats(root)
     # retire the run's files into the page pool (rename, keeps pages
     # warm for the next rep/leg) instead of rmtree (frees pages AND
     # poisons the host fault path for minutes)
-    from moonlink_ray import pagepool
     pagepool.retire_tree(root)
     return {"stages": stages, "suite_sec": total, "images": fix["n"],
             "fault_gbs": [fault0, fault1],
+            # GB of warm pool pages the suite's writers consumed in the
+            # timed window = first-touch faults the page pool avoided
+            "pool_recycled_gb": round((pool0["bytes"] - pool1["bytes"]) / 1e9, 2),
             "images_per_sec": round(fix["n"] / total, 1)}
 
 
@@ -204,6 +209,7 @@ def bench_once() -> dict:
     total = sum(stages.values())
     suite = {"stages": stages, "suite_sec": total, "images": reps[0]["images"],
              "fault_gbs": [g for r in reps for g in r["fault_gbs"]],
+             "pool_recycled_gb": [r.get("pool_recycled_gb") for r in reps],
              "images_per_sec": round(reps[0]["images"] / total, 1)}
     if os.environ.get("GRAFT_SUITE_ONLY"):
         qb = {}
@@ -224,6 +230,7 @@ def bench_once() -> dict:
         # a round-over-round wall-clock comparison is uninterpretable
         "weather": weather_index(),
         "fault_gbs": suite["fault_gbs"],
+        "pool_recycled_gb": suite["pool_recycled_gb"],
         "hw_agg": hw_ceiling_probe(min(NCPU, 32), seconds=2.0),
     }
     ray.shutdown()
