@@ -38,7 +38,8 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def prefault_guest_memory(target_gb: int = 20, budget_s: int = 180) -> float:
+def prefault_guest_memory(target_gb: int | None = None,
+                          budget_s: int = 240) -> float:
     """Pre-fault a working-set's worth of pages INTO THE SCRATCH POOL.
 
     The sandbox VM (Firecracker) faults guest frames in from the host
@@ -58,6 +59,12 @@ def prefault_guest_memory(target_gb: int = 20, budget_s: int = 180) -> float:
     from moonlink_ray import pagepool
     from moonlink_ray.queries import DATA_ROOT
 
+    if target_gb is None:
+        # cover the suite's full per-leg write volume (spill ~ table
+        # bytes + rewritten fragments ~ table bytes + merge outputs):
+        # a pool smaller than the leg drains mid-run and the tail of
+        # the job faults fresh pages at the collapsed concurrent rate
+        target_gb = int(float(os.environ.get("MLRAY_POOL_FILL_GB", "28")))
     os.makedirs(DATA_ROOT, exist_ok=True)
     return pagepool.fill(DATA_ROOT, target_gb, budget_s=budget_s)
 
@@ -103,8 +110,7 @@ def run_suite(rep: int = 0) -> dict:
     from moonlink_ray.sources.scan import scan
 
     fix = ensure_images_fixture(SF_DIR)  # cached; synthesis NOT timed
-    if rep == 0:
-        prefault_guest_memory()  # untimed (see BASELINE.md hygiene)
+    prefault_guest_memory()  # untimed top-up (see BASELINE.md hygiene)
     root = _fresh_copy(fix, f"bench{NCPU}r{rep}")
 
     # warm the page cache with one untimed scan so we measure

@@ -57,7 +57,7 @@ def enabled() -> bool:
 
 
 def _cap_bytes() -> int:
-    return int(float(os.environ.get("MLRAY_POOL_CAP_GB", "24")) * (1 << 30))
+    return int(float(os.environ.get("MLRAY_POOL_CAP_GB", "36")) * (1 << 30))
 
 
 def _bases() -> list[str]:
@@ -304,35 +304,51 @@ def pooled_write_parquet(table, final_path: str, **pq_kwargs) -> bool:
     return sink.recycled
 
 
-def fill(near: str, target_gb: float, budget_s: float = 120.0,
-         file_mb: int = 64) -> float:
-    """Pre-populate the pool with warm-page files (bench warmup: pays
-    the first-touch faults OUTSIDE the timed window, exactly like a
-    long-lived node whose frames were faulted at boot). Returns GB
-    actually added."""
+def _fill_worker(args) -> int:
+    pool, n_files, file_mb, deadline = args
     import time
 
     from .runtime import page_write_throttle
-    pool = _pool_dir_for(near)
-    if pool is None or not enabled():
-        return 0.0
-    cap = _cap_bytes()
-    target = int(target_gb * (1 << 30))
     chunk = b"\xa5" * (8 << 20)
-    t0 = time.time()
     added = 0
-    while time.time() - t0 < budget_s:
-        have = _pool_bytes(pool)
-        if have >= min(target, cap):
+    for _ in range(n_files):
+        if time.time() > deadline:
             break
         tmp = os.path.join(pool, f"inuse-{os.getpid()}-{uuid.uuid4().hex}")
         with page_write_throttle(), open(tmp, "wb") as f:
             for _ in range(file_mb // 8):
                 f.write(chunk)
-                if time.time() - t0 > budget_s:
-                    break
         added += os.path.getsize(tmp)
         os.rename(tmp, os.path.join(pool, f"p-{uuid.uuid4().hex}"))
+    return added
+
+
+def fill(near: str, target_gb: float, budget_s: float = 240.0,
+         file_mb: int = 64, workers: int = 8) -> float:
+    """Pre-populate the pool with warm-page files (bench warmup: pays
+    the first-touch faults OUTSIDE the timed window, exactly like a
+    long-lived node whose frames were faulted at boot). Fans out to
+    ``workers`` processes — the host fault path peaks at ~8-way
+    concurrency (BENCH/BASELINE.md) — and is time-bounded so a
+    bad-weather host can't stall the caller. Returns GB added."""
+    import time
+    from multiprocessing import Pool
+
+    pool = _pool_dir_for(near)
+    if pool is None or not enabled():
+        return 0.0
+    cap = _cap_bytes()
+    target = min(int(target_gb * (1 << 30)), cap)
+    missing = target - _pool_bytes(pool)
+    if missing <= 0:
+        return 0.0
+    n_files = -(-missing // (file_mb << 20))
+    per = [int(n_files // workers + (i < n_files % workers))
+           for i in range(workers)]
+    deadline = time.time() + budget_s
+    with Pool(workers) as p:
+        added = sum(p.map(_fill_worker,
+                          [(pool, n, file_mb, deadline) for n in per if n]))
     return added / 1e9
 
 
