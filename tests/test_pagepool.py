@@ -167,3 +167,18 @@ def test_tablefs_write_parquet_atomic_uses_pool(pool_env):
     assert pq.read_table(str(root / "frag.parquet")).equals(t)
     # the pooled file was consumed into the destination
     assert pagepool.acquire(str(pool_env / "x")) is None
+
+
+def test_fill_parallel_tops_up_to_target(pool_env, monkeypatch):
+    monkeypatch.setenv("MLRAY_POOL_CAP_GB", "0.05")  # ~51 MB
+    added = pagepool.fill(str(pool_env / "near"), target_gb=0.03,
+                          budget_s=30.0, file_mb=8, workers=3)
+    assert added > 0
+    st = pagepool.stats(str(pool_env / "near"))
+    assert st["bytes"] >= 0.03 * (1 << 30)
+    # already at target: second fill is a no-op
+    assert pagepool.fill(str(pool_env / "near"), target_gb=0.03,
+                         budget_s=30.0, file_mb=8, workers=3) == 0.0
+    # a target beyond the cap fills only to the cap
+    assert pagepool.fill(str(pool_env / "near"), target_gb=50,
+                         budget_s=30.0, file_mb=8, workers=2) <= 0.06
