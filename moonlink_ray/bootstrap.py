@@ -202,18 +202,25 @@ def append_dataset(root: str, data, *, run_id: str | None = None,
 
 def write_cdc_parquet(path: str, n_base: int, n_ops: int, *,
                       seed: int = synth.SEED + 1, start_lsn: int = 1_000,
+                      row_group_size: int = 256,
                       force: bool = False) -> str:
-    """Materialize a deterministic CDC batch as one Parquet file (cached)."""
+    """Materialize a deterministic CDC batch as one Parquet file (cached).
+
+    Row groups match the fragment writer's (fragments.ROW_GROUP_SIZE):
+    a CDC producer tuned like moonlink's 128 MiB flush target writes
+    groups MERGE can adopt as right-sized span fragments (bench-scale
+    images make 256 rows ~ 75 MB)."""
     marker = path + ".fp.json"
     fingerprint = {"n_base": n_base, "n_ops": n_ops, "seed": seed,
-                   "start_lsn": start_lsn, "synthv": synth.SYNTH_VERSION}
+                   "start_lsn": start_lsn, "synthv": synth.SYNTH_VERSION,
+                   "rgs": row_group_size}
     if not force and os.path.exists(path) and os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == fingerprint:
                 return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     table = synth.build_cdc(n_base, n_ops, seed=seed, start_lsn=start_lsn)
-    pq.write_table(table, path + ".tmp", row_group_size=4096)
+    pq.write_table(table, path + ".tmp", row_group_size=row_group_size)
     os.replace(path + ".tmp", path)
     with open(marker, "w") as f:
         json.dump(fingerprint, f)

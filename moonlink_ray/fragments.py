@@ -109,11 +109,20 @@ def read_fragment(root: str, meta: FragmentMeta, columns: list[str] | None = Non
     if columns is not None and tolerant_columns:
         have = set(fs.parquet_schema(meta.path).names)
         columns = [c for c in columns if c in have]
-    table = fs.read_parquet(meta.path, columns=columns)
-    if columns is None and ROWHASH_COL in table.column_names:
-        # hidden identity column (FullRow tables): scans never surface
-        # it unless a caller asks for it by name
-        table = table.drop_columns([ROWHASH_COL])
+    if meta.rg_span:
+        # adopted-file fragment: the fragment is a row-group span of a
+        # shared physical file (see FragmentMeta.rg_span)
+        table = fs.read_parquet_span(meta.path, meta.rg_span,
+                                     columns=columns)
+    else:
+        table = fs.read_parquet(meta.path, columns=columns)
+    if columns is None:
+        # hidden internal columns: the FullRow identity hash and the CDC
+        # bookkeeping columns of adopted fragments (_op/_lsn/_seq/_xid).
+        # Scans never surface them unless a caller asks by name.
+        hidden = [c for c in table.column_names if c.startswith("_")]
+        if hidden:
+            table = table.drop_columns(hidden)
     if with_pos or (apply_dv and meta.dv):
         pos = np.arange(table.num_rows, dtype=np.int64)
         if apply_dv and meta.dv:

@@ -30,6 +30,7 @@ through):
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import uuid
 from typing import Iterable
@@ -162,6 +163,49 @@ class TableFS:
 
     def parquet_schema(self, rel: str) -> pa.Schema:
         return pq.read_schema(self.full(rel), filesystem=self.fs)
+
+    def read_parquet_span(self, rel: str, rg_span: list[int],
+                          columns: list[str] | None = None) -> pa.Table:
+        """Read row groups [rg_span[0], rg_span[1]) of one parquet file
+        (adopted-file fragments: several fragments share one file)."""
+        pf = pq.ParquetFile(self.full(rel), filesystem=self.fs)
+        try:
+            return pf.read_row_groups(list(range(rg_span[0], rg_span[1])),
+                                      columns=columns)
+        finally:
+            pf.close()
+
+    def adopt_file(self, src: str, rel: str) -> None:
+        """Register an existing immutable parquet file (a local path) as
+        a table artifact WITHOUT rewriting its payload: hardlink when the
+        table is on the same local device, else a byte copy published
+        with the usual write-then-rename discipline. Idempotent — safe
+        for concurrent adopters of the same file."""
+        import shutil
+        if self.exists(rel):
+            return
+        dst = self.full(rel)
+        parent = posixpath.dirname(rel)
+        if parent:
+            self.makedirs(parent)
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            try:
+                os.link(src, dst)
+                return
+            except FileExistsError:
+                return
+            except OSError:
+                pass  # cross-device -> fall through to the byte copy
+        if self.object_store:
+            with open(src, "rb") as fin, \
+                    self.fs.open_output_stream(dst) as out:
+                shutil.copyfileobj(fin, out, length=8 << 20)
+            return
+        tmp = dst + f".tmp-{os.getpid()}"
+        with open(src, "rb") as fin, \
+                self.fs.open_output_stream(tmp) as out:
+            shutil.copyfileobj(fin, out, length=8 << 20)
+        self.fs.move(tmp, dst)
 
     def write_parquet_atomic(self, table: pa.Table, rel: str, **kw) -> None:
         from .runtime import page_write_throttle

@@ -58,6 +58,15 @@ class FragmentMeta:
     # analog). Incremental OPTIMIZE selects zgen-less fragments; absent
     # in pre-upgrade manifests, where the dataclass default applies.
     zgen: str | None = None
+    # adopted-file fragments (MERGE ingests CDC parquet without
+    # rewriting payload, the batch analog of moonlink's flushed disk
+    # slice BECOMING the data file, ``storage/mooncake_table/
+    # disk_slice.rs``): [rg0, rg1, row0] — the fragment is row groups
+    # [rg0, rg1) of ``path`` (several fragments may share one physical
+    # file), and row0 is the span's first 0-based FILE row (external
+    # reader handoff uses it; see scan_manifest). None = whole file.
+    # Row positions (``_pos``, DV entries) are span-relative.
+    rg_span: list[int] | None = None
 
     @property
     def live_rows(self) -> int:

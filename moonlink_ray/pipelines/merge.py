@@ -14,14 +14,20 @@ passes — no persisted index at all:
    The pass also returns the CDC aggregates (fresh-op count, max LSN),
    so the driver never materializes the key set — its state is
    O(shards), not O(CDC).
-2. **Fold** (new versions): hash-bucket the CDC rows on the canonical
-   identity key (stable hash, B buckets), ``groupby(_bucket).
-   map_groups`` an LSN-ordered fold per bucket that applies ops in
-   ``(lsn, seq, delete-before-insert)`` order and writes the surviving
-   row versions as new fragments. The fold itself is exact vectorized
-   index math (see ``_fold_bucket``) — no per-row Python loop. One
-   ``map_groups`` call == one partition == one lineage checkpoint, so a
-   killed run resumes bucket-by-bucket.
+2. **Positional fold + file adoption** (new versions): a column-pruned
+   positional read (``_SpanKeyReader``) emits only (key, _op, _lsn,
+   _seq, span, row) per CDC op; hash-bucketing on the canonical
+   identity key + ``groupby(_bucket).map_groups`` applies ops in
+   ``(lsn, seq, delete-before-insert)`` order (exact vectorized index
+   math, ``_fold_bucket`` — no per-row Python loop) and returns
+   SURVIVOR POSITIONS. A second tiny exchange groups survivors by span
+   and ADOPTS the CDC file itself into the table (hardlink/byte copy,
+   one fragment per row-group span, a DV over non-surviving rows) —
+   the batch analog of moonlink's flushed disk slice BECOMING the data
+   file (``storage/mooncake_table/disk_slice.rs``): image payload is
+   never shuffled and never rewritten; MERGE moves O(keys) bytes, not
+   O(CDC) bytes. One adopted span == one lineage checkpoint, so a
+   killed run resumes span-by-span.
 3. **DV update** (old versions): fragments are pruned by key zone maps
    against the nonempty tombstone shard ranges (the batch analog of
    moonlink's file-index probe), then a per-fragment task reads *only*
@@ -196,46 +202,155 @@ def _chunk_by_bytes(table: pa.Table, target: int) -> list[pa.Table]:
     return chunks
 
 
-class _BucketMerge:
-    """map_groups callable: one call per hash bucket -> fold + fragment
-    write + lineage checkpoint. Returns one meta row per written fragment."""
+def _cdc_spans(cdc_paths: list[str],
+               target_bytes: int = _FRAGMENT_BYTES) -> list[dict]:
+    """Bundle each CDC file's contiguous row groups into ADOPTION SPANS
+    of ~target payload bytes — footer-only driver read, O(row groups)
+    state. Each span becomes one fragment of the adopted file (see
+    FragmentMeta.rg_span)."""
+    import pyarrow.parquet as pq
+    spans: list[dict] = []
+    for fi, path in enumerate(cdc_paths):
+        md = pq.read_metadata(path)
+        row0 = 0
+        cur: dict | None = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            b = int(g.total_byte_size)
+            cb = sum(int(g.column(c).total_compressed_size)
+                     for c in range(g.num_columns))
+            if cur is None or (cur["rows"] > 0
+                               and cur["bytes"] + b > target_bytes):
+                if cur is not None:
+                    spans.append(cur)
+                cur = {"file": fi, "path": path, "rg0": rg, "rg1": rg,
+                       "row0": row0, "rows": 0, "bytes": 0, "cbytes": 0}
+            cur["rg1"] = rg + 1
+            cur["rows"] += g.num_rows
+            cur["bytes"] += b
+            cur["cbytes"] += cb
+            row0 += g.num_rows
+        if cur is not None:
+            spans.append(cur)
+    for i, s in enumerate(spans):
+        s["span"] = i
+    return spans
 
-    def __init__(self, root: str, run_id: str, min_lsn_exclusive: int,
-                 schema_list: list | None = None,
-                 key_columns: tuple | list = ("image_id",)):
-        from ..schema import schema_from_list
-        self.root = root
-        self.run_id = run_id
-        self.min_lsn = min_lsn_exclusive
-        self.schema = schema_from_list(schema_list) or IMAGES_SCHEMA
+
+class _SpanKeyReader:
+    """map_batches task over span descriptors: read ONLY the identity /
+    bookkeeping columns of the span's row groups and attach the span id
+    + span-relative row position — the column-pruned positional read
+    that lets the fold run without ever moving image payload."""
+
+    def __init__(self, columns: list[str]):
+        self.columns = list(columns)
+        self.__name__ = "SpanKeyReader"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        out = []
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["path"])
+            try:
+                t = pf.read_row_groups(list(range(row["rg0"], row["rg1"])),
+                                       columns=self.columns)
+            finally:
+                pf.close()
+            t = t.append_column("_span", pa.array(
+                np.full(t.num_rows, row["span"], dtype=np.int64)))
+            t = t.append_column("_row", pa.array(
+                np.arange(t.num_rows, dtype=np.int64)))
+            out.append(t)
+        if not out:
+            sch = pa.schema([(c, pa.string()) for c in self.columns]
+                            ).append(pa.field("_span", pa.int64())
+                                     ).append(pa.field("_row", pa.int64()))
+            return pa.table({f.name: pa.array([], f.type) for f in sch})
+        return pa.concat_tables(out)
+
+
+class _FoldPositions:
+    """map_groups callable: fold one hash bucket of (key, op, lsn, seq)
+    rows and return the SURVIVOR POSITIONS (span, row) — the payload
+    never enters the exchange."""
+
+    def __init__(self, key_columns: tuple | list):
         self.key_columns = tuple(key_columns)
-        self.__name__ = "BucketMerge"  # map_groups wraps fn by name
+        self.__name__ = "FoldPositions"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from ..schema import conform_table
+        survivors, _ = _fold_bucket(group, self.key_columns)
+        idx = pa.array(survivors, pa.int64())
+        return pa.table({"_span": group["_span"].take(idx),
+                         "_row": group["_row"].take(idx)})
+
+
+class _AdoptSpan:
+    """map_groups callable over survivor positions grouped by span:
+    adopt the span's physical file into the table (hardlink/copy — NO
+    payload rewrite; the batch analog of moonlink's flushed disk slice
+    becoming the data file, ``storage/mooncake_table/disk_slice.rs``),
+    write a DV for the span's non-surviving rows, compute zone-map
+    stats over the live rows from a column-pruned read, and checkpoint
+    the fragment in lineage."""
+
+    def __init__(self, root: str, run_id: str, spans_ref,
+                 done_spans: set[int], key_columns: tuple):
+        self.root = root
+        self.run_id = run_id
+        self.spans_ref = spans_ref
+        self.done = set(done_spans)
+        self.key_columns = tuple(key_columns)
+        self._spans = None
+        self.__name__ = "AdoptSpan"
+
+    def _span_list(self) -> list[dict]:
+        if self._spans is None:
+            import ray
+            self._spans = (ray.get(self.spans_ref)
+                           if hasattr(self.spans_ref, "hex")
+                           else self.spans_ref)
+        return self._spans
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from ..fragments import _col_stats, STATS_COLUMNS
         tp = time.perf_counter()
-        bucket = int(group["_bucket"][0].as_py())
-        part_key = f"bucket-{bucket:05d}"
-        survivors, max_lsn = _fold_bucket(group, self.key_columns)
-        out = None
-        if len(survivors):
-            # conform to the table's ACTIVE schema: columns ALTERed in
-            # after the CDC batch was produced are null-filled, dropped
-            # ones are hidden
-            out = conform_table(group.take(survivors), self.schema,
-                                keep_extra=())
-        metas = []
-        if out is not None and out.num_rows:
-            for n, chunk in enumerate(_chunk_by_bytes(out, _FRAGMENT_BYTES)):
-                frag_id = f"frag-{self.run_id}-b{bucket:05d}-{n:03d}"
-                metas.append(write_fragment(self.root, chunk, frag_id,
-                                            lineage=[], max_lsn=max_lsn))
-        write_lineage(self.root, self.run_id, part_key, {
-            "kind": "merge-bucket", "bucket": bucket, "max_lsn": max_lsn,
-            "fragments": [asdict(m) for m in metas],
+        span_id = int(group["_span"][0].as_py())
+        if span_id in self.done:  # resumed run: meta already in lineage
+            return pa.table({"meta": pa.array([], pa.string())})
+        span = self._span_list()[span_id]
+        fs = for_root(self.root)
+        rel = f"fragments/cdc-{self.run_id}-f{span['file']:04d}.parquet"
+        fs.adopt_file(span["path"], rel)
+        live = np.sort(group["_row"].to_numpy(zero_copy_only=False))
+        dead = np.setdiff1d(np.arange(span["rows"], dtype=np.int64), live,
+                            assume_unique=True)
+        frag_id = f"frag-{self.run_id}-s{span['span']:05d}"
+        dv_ref = None
+        if dead.size:
+            dv_ref = write_dv(self.root, f"dv-{self.run_id}-{frag_id}", dead)
+        # stats + max_lsn over the LIVE rows, via a column-pruned span
+        # read (key/zone-map columns only — payload stays untouched)
+        rg_span = [span["rg0"], span["rg1"], span["row0"]]
+        have = set(fs.parquet_schema(rel).names)
+        cols = [c for c in dict.fromkeys(
+            list(STATS_COLUMNS) + list(self.key_columns)) if c in have]
+        t = fs.read_parquet_span(rel, rg_span, columns=cols + ["_lsn"])
+        mask = np.zeros(span["rows"], dtype=bool)
+        mask[live] = True
+        t = t.filter(pa.array(mask))
+        max_lsn = int(pc.max(t["_lsn"]).as_py()) if t.num_rows else 0
+        meta = FragmentMeta(
+            fragment_id=frag_id, path=rel, rows=int(span["rows"]),
+            size_bytes=int(span["cbytes"]), stats=_col_stats(t),
+            dv=dv_ref, lineage=[], max_lsn=max_lsn, rg_span=rg_span)
+        write_lineage(self.root, self.run_id, f"adopt-{span['span']:05d}", {
+            "kind": "merge-adopt", "span": span_id,
+            "fragments": [asdict(meta)],
             "wall_sec": round(time.perf_counter() - tp, 3),
         })
-        return pa.table({"meta": pa.array([json.dumps(asdict(m)) for m in metas],
+        return pa.table({"meta": pa.array([json.dumps(asdict(meta))],
                                           pa.string())})
 
 
@@ -844,7 +959,12 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         tomb_cols.append("_xid")
     tomb_ds = (None if done.get("tombstones")
                else rd.read_parquet(cdc_paths, columns=tomb_cols))
-    fold_ds = rd.read_parquet(cdc_paths)
+    # the fold never reads payload: adoption spans + a key-column
+    # positional read (see _cdc_spans/_SpanKeyReader/_AdoptSpan)
+    spans = _cdc_spans(cdc_paths)
+    span_items = [{"span": s["span"], "path": s["path"], "rg0": s["rg0"],
+                   "rg1": s["rg1"]} for s in spans]
+    fold_ds = rd.from_items(span_items, override_num_blocks=len(span_items))
 
     # -- stage 0+1 (one thread): tombstone shard pass (distributed,
     # column-pruned; also yields the CDC aggregates, so the driver never
@@ -881,13 +1001,23 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         stage_sec["dv_sec"] = round(time.perf_counter() - tp, 3)
         return tomb_rec, out
 
-    # -- stage 2: bucketed fold of CDC rows -> survivor fragments
-    done_buckets = {rec["bucket"] for k, rec in done.items()
-                    if k.startswith("bucket-")}
+    # -- stage 2: positional fold of the CDC's key/op rows -> adopted
+    # span fragments. The exchange carries only (key, op, lsn, seq,
+    # span, row) — payload bytes NEVER move: survivors stay in the CDC
+    # file, which is adopted (hardlink/copy) as span fragments with a
+    # DV over the non-surviving rows. Write amplification: O(keys), not
+    # O(CDC bytes).
+    done_spans: set[int] = set()
     new_metas: list[FragmentMeta] = []
     for k, rec in done.items():
-        if k.startswith("bucket-"):
-            new_metas.extend(FragmentMeta.from_dict(d) for d in rec["fragments"])
+        if k.startswith("adopt-"):
+            done_spans.add(int(rec["span"]))
+            new_metas.extend(FragmentMeta.from_dict(d)
+                             for d in rec["fragments"])
+
+    fold_cols = sorted(set(key_columns)) + ["_op", "_lsn", "_seq"]
+    if aborted is not None:
+        fold_cols.append("_xid")
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = _strip_aborted(batch, aborted)
@@ -895,19 +1025,20 @@ def merge(root: str, cdc_paths: list[str] | str, *, run_id: str | None = None,
         if batch.num_rows == 0:
             return batch.append_column("_bucket", pa.array([], pa.int64()))
         b = bucket_of(canonical_keys(batch, list(key_columns)), B)
-        batch = batch.append_column("_bucket", pa.array(b, pa.int64()))
-        if done_buckets:
-            keep = ~np.isin(b, list(done_buckets))
-            batch = batch.filter(pa.array(keep))
-        return batch
+        return batch.append_column("_bucket", pa.array(b, pa.int64()))
 
     def run_fold_stage() -> list:
         tp = time.perf_counter()
-        cdc = fold_ds.map_batches(prep, batch_format="pyarrow")
-        folded = cdc.groupby("_bucket").map_groups(
-            _BucketMerge(root, run_id, floor_lsn, snap.schema, key_columns),
+        cdc = fold_ds.map_batches(_SpanKeyReader(fold_cols), batch_size=1,
+                                  batch_format="pyarrow") \
+                     .map_batches(prep, batch_format="pyarrow")
+        survivors = cdc.groupby("_bucket").map_groups(
+            _FoldPositions(key_columns), batch_format="pyarrow")
+        spans_ref = ray.put(spans)  # O(spans) broadcast, read once/task
+        adopted = survivors.groupby("_span").map_groups(
+            _AdoptSpan(root, run_id, spans_ref, done_spans, key_columns),
             batch_format="pyarrow")
-        out = folded.take_all()
+        out = adopted.take_all()
         stage_sec["fold_sec"] = round(time.perf_counter() - tp, 3)
         return out
 

@@ -157,7 +157,10 @@ def scan_manifest(root: str, version: int | None = None, *,
     ``moonlink_rpc/src/lib.rs:36``).
 
     Contract: the live rows of the snapshot = for each fragment, the
-    rows of ``path`` whose 0-based file row position is NOT listed in
+    rows of ``path`` within ``row_span`` (``[lo, hi)`` file rows when
+    set — MERGE-adopted CDC files carry several fragments per file —
+    else the whole file) whose span-relative row position (file row −
+    ``row_span[0]``, or the plain file row when unset) is NOT listed in
     its deletion vector (``dv_path``: a parquet sidecar with one int64
     ``pos`` column; absent = no deletions). Fragments, DVs and snapshot
     descriptors are immutable, so the handoff stays valid verbatim
@@ -183,6 +186,11 @@ def scan_manifest(root: str, version: int | None = None, *,
             "size_bytes": f.size_bytes,
             "dv_path": fs.full(f.dv["path"]) if f.dv else None,
             "dv_count": f.dv["count"] if f.dv else 0,
+            # adopted-file fragments: the fragment is FILE rows
+            # [row_span[0], row_span[1]) of ``path``, and DV positions
+            # are relative to row_span[0]. None = the whole file.
+            "row_span": ([f.rg_span[2], f.rg_span[2] + f.rows]
+                         if f.rg_span else None),
         } for f in snap.fragments],
     }
 

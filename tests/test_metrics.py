@@ -31,9 +31,9 @@ def test_merge_commit_metrics(merged_table):
 
 def test_per_partition_lineage_has_wall_sec(merged_table):
     recs = read_lineage(merged_table, "mrun")
-    buckets = [r for k, r in recs.items() if k.startswith("bucket-")]
-    assert buckets
-    assert all("wall_sec" in r for r in buckets)
+    spans = [r for k, r in recs.items() if k.startswith("adopt-")]
+    assert spans
+    assert all("wall_sec" in r for r in spans)
 
 
 def test_compact_and_expire_metrics(merged_table):

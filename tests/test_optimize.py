@@ -54,9 +54,16 @@ class TestOptimize:
         optimize(root, cfg=cfg)  # full: table now Z-clustered
         clustered = {f.fragment_id for f in load(root).fragments}
 
+        # two CDC files -> MERGE adopts (at least) two span fragments,
+        # i.e. two zgen-less interlopers for the incremental pass
+        import pyarrow.parquet as pq
         cdc = str(tmp_path / "cdc.parquet")
         write_cdc_parquet(cdc, n_base=400, n_ops=60)
-        merge(root, cdc)
+        t = pq.read_table(cdc)
+        cdc_a, cdc_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        pq.write_table(t.slice(0, 30), cdc_a)
+        pq.write_table(t.slice(30), cdc_b)
+        merge(root, [cdc_a, cdc_b])
         snap = load(root)
         merged_rows = snap.total_rows
 
