@@ -20,7 +20,12 @@ import pyarrow as pa
 from .manifest import Snapshot, commit, load
 from .synth import IMAGES_SCHEMA
 
-# serializable type vocabulary for snapshot descriptors
+# serializable type vocabulary for snapshot descriptors. Beyond the
+# scalar names below, three PARAMETRIC forms mirror the breadth of
+# moonlink's REST JSON converter (``rest_ingest/json_converter.rs:
+# 34-200`` + ``decimal_utils.rs``: decimals with validation, date/time,
+# nested lists): ``decimal128(p,s)``, ``decimal128(p)``, and
+# ``list<T>`` for any vocabulary element T.
 _TYPES = {
     "string": pa.string(),
     "binary": pa.binary(),
@@ -32,6 +37,8 @@ _TYPES = {
     "float32": pa.float32(),
     "float64": pa.float64(),
     "timestamp[us]": pa.timestamp("us"),
+    "date32": pa.date32(),
+    "time64[us]": pa.time64("us"),
 }
 _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
 
@@ -41,15 +48,41 @@ PROTECTED_COLUMNS = ("image_id", "bytes", "phash", "w", "h")
 
 
 def type_from_name(name: str) -> pa.DataType:
-    try:
-        return _TYPES[name]
-    except KeyError:
-        raise ValueError(f"unsupported column type {name!r}; "
-                         f"one of {sorted(_TYPES)}") from None
+    got = _TYPES.get(name)
+    if got is not None:
+        return got
+    if name.startswith("list<") and name.endswith(">"):
+        return pa.list_(type_from_name(name[5:-1]))
+    if name.startswith("decimal128(") and name.endswith(")"):
+        body = name[len("decimal128("):-1]
+        try:
+            parts = [int(p) for p in body.split(",")]
+            if len(parts) == 1:
+                return pa.decimal128(parts[0])
+            if len(parts) == 2:
+                return pa.decimal128(parts[0], parts[1])
+        except ValueError:
+            pass
+        raise ValueError(f"bad decimal128 parameters in {name!r}; "
+                         f"expected decimal128(precision[,scale])")
+    raise ValueError(f"unsupported column type {name!r}; "
+                     f"one of {sorted(_TYPES)}, decimal128(p[,s]), "
+                     f"or list<T>")
+
+
+def type_to_name(t: pa.DataType) -> str:
+    got = _TYPE_NAMES.get(t)
+    if got is not None:
+        return got
+    if pa.types.is_list(t):
+        return f"list<{type_to_name(t.value_type)}>"
+    if pa.types.is_decimal128(t):
+        return f"decimal128({t.precision},{t.scale})"
+    raise ValueError(f"type {t} has no serializable name")
 
 
 def schema_to_list(schema: pa.Schema) -> list[list[str]]:
-    return [[f.name, _TYPE_NAMES[f.type]] for f in schema]
+    return [[f.name, type_to_name(f.type)] for f in schema]
 
 
 def schema_from_list(lst: list | None) -> pa.Schema | None:

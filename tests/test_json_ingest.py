@@ -148,3 +148,48 @@ def test_parser_typed_conversion_errors():
     out = JsonCdcParser(strict=False, cdc=False, schema_list=sch)(bad)
     assert out["image_id"].to_pylist() == ["a"]
     assert out["score"].to_pylist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_ingest_parametric_types(tmp_path):
+    """ALTER-added decimal128 / date32 / list<float32> columns ingest
+    from JSON with typed validation — the breadth of moonlink's JSON
+    converter (rest_ingest/json_converter.rs:34-200, decimal_utils.rs:
+    decimals validated against precision/scale, date/time parsing,
+    nested lists)."""
+    from decimal import Decimal
+
+    from moonlink_ray.schema import alter_table
+
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 10, rows_per_fragment=8)
+    alter_table(root, add=[("price", "decimal128(10,2)"),
+                           ("shot_date", "date32"),
+                           ("embed", "list<float32>")])
+
+    rows = []
+    for i in range(3):
+        r = _row_json(2000 + i)
+        r["price"] = f"{i}.25"          # string -> validated decimal
+        r["shot_date"] = f"2026-08-{10 + i:02d}"
+        r["embed"] = [0.5 * i, 1.5]
+        rows.append(r)
+    p = _write_jsonl(tmp_path / "typed.jsonl", rows)
+    snap = append_json(root, p)
+    got = scan_arrow(root, snapshot=snap, sort_by="image_id")
+    newest = got.slice(got.num_rows - 3)
+    assert newest["price"].to_pylist() == [Decimal("0.25"), Decimal("1.25"),
+                                           Decimal("2.25")]
+    assert [d.isoformat() for d in newest["shot_date"].to_pylist()] == \
+        ["2026-08-10", "2026-08-11", "2026-08-12"]
+    assert newest["embed"].to_pylist() == [[0.0, 1.5], [0.5, 1.5], [1.0, 1.5]]
+    # old rows are null-filled for all three ALTERed columns
+    assert got["price"].null_count == 10
+
+    # strict mode: a decimal that cannot be represented at scale 2 and
+    # an unparsable date are per-field typed errors, not silent NULLs
+    bad = _row_json(3000)
+    bad["price"] = "1.999"  # needs scale 3
+    pb = _write_jsonl(tmp_path / "bad.jsonl", [bad])
+    with pytest.raises(JsonRowError):
+        append_json(root, pb, strict=True)
