@@ -186,10 +186,19 @@ def test_json_ingest_parametric_types(tmp_path):
     # old rows are null-filled for all three ALTERed columns
     assert got["price"].null_count == 10
 
-    # strict mode: a decimal that cannot be represented at scale 2 and
-    # an unparsable date are per-field typed errors, not silent NULLs
-    bad = _row_json(3000)
-    bad["price"] = "1.999"  # needs scale 3
-    pb = _write_jsonl(tmp_path / "bad.jsonl", [bad])
-    with pytest.raises(JsonRowError):
-        append_json(root, pb, strict=True)
+    # strict mode: a decimal that cannot be represented at scale 2 is a
+    # per-field typed error, not a silent NULL (decimal_utils.rs
+    # validation analog). Parser invoked directly — through Ray the
+    # same JsonRowError arrives wrapped in RayTaskError.
+    from moonlink_ray.schema import schema_to_list, table_schema
+    parser = JsonCdcParser(strict=True, cdc=False,
+                           schema_list=schema_to_list(
+                               table_schema(load(root))))
+    bad = pa.table({"image_id": ["img-x"], "price": ["1.999"]})
+    with pytest.raises(JsonRowError, match="price"):
+        parser(bad)
+    # tolerant mode: the lossy decimal row is dropped, not corrupted
+    parser_tol = JsonCdcParser(strict=False, cdc=False,
+                               schema_list=schema_to_list(
+                                   table_schema(load(root))))
+    assert parser_tol(bad).num_rows == 0
