@@ -14,6 +14,8 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine expire   --root T --keep-last 2
     python -m moonlink_ray.engine scan     --root T [--snapshot V] --out out.parquet
     python -m moonlink_ray.engine scan-manifest --root T [--snapshot V | --at-lsn L]
+    python -m moonlink_ray.engine export-delta --root T --out DIR [--snapshot V]
+    python -m moonlink_ray.engine sync-delta --root T --out DIR  # incremental
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
     python -m moonlink_ray.engine status   --root T
     python -m moonlink_ray.engine config   --root T [--set compaction.small_file_bytes=8388608]
@@ -84,6 +86,15 @@ def main(argv=None):
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--at-lsn", type=int, default=None,
                    help="describe table state as of this replication LSN")
+    s = add("export-delta")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--at-lsn", type=int, default=None)
+    s.add_argument("--out", required=True,
+                   help="fresh directory for the Delta Lake table")
+    s = add("sync-delta")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--out", required=True,
+                   help="existing Delta export to bring up to date")
     s = add("alter")
     s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
                    help="columns to add, e.g. tag:string score:float64")
@@ -191,6 +202,13 @@ def main(argv=None):
         from .sources.scan import scan_manifest
         out = scan_manifest(args.root, version=args.snapshot,
                             at_lsn=args.at_lsn)
+    elif args.cmd == "export-delta":
+        from .export import export_delta
+        out = export_delta(args.root, args.out, version=args.snapshot,
+                           at_lsn=args.at_lsn)
+    elif args.cmd == "sync-delta":
+        from .export import sync_delta
+        out = sync_delta(args.root, args.out, version=args.snapshot)
     elif args.cmd == "alter":
         from .schema import alter_table, table_schema
         adds = [tuple(a.split(":", 1)) for a in args.add]

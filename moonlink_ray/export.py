@@ -1,0 +1,404 @@
+"""Interoperable snapshot export: table root -> Delta Lake table.
+
+Moonlink's durability story is that every commit is REAL Iceberg
+metadata any external engine can read
+(``/root/reference/src/moonlink/src/storage/iceberg/
+iceberg_table_syncer.rs:563-595`` writes the snapshot + ``file_catalog
+.rs:695-770`` publishes it); this repo's manifest is a private JSON
+schema, so this module closes the interop loop the other way: a
+one-call export of any committed snapshot into a format third-party
+engines read natively. Iceberg itself needs Avro manifests (no Avro
+writer in this environment) and Lance needs the ``lance`` wheel (also
+absent — gated below), so the materialized format is **Delta Lake**,
+whose transaction log is plain newline-delimited JSON over parquet
+data files (public spec: github.com/delta-io/delta PROTOCOL.md) and is
+hand-writable with stdlib ``json`` + pyarrow.
+
+Shape of the export (copy-on-write, scale-aware):
+
+- a fragment with NO deletion vector, NO adopted-file row-group span
+  and the active schema is **hardlinked** into the Delta table
+  (``TableFS.adopt_file`` — zero payload movement; post-OPTIMIZE
+  tables, where every fragment is clean, export in O(metadata));
+- every other fragment (DV'd, span-of-shared-file, pre-ALTER schema,
+  hidden ``_rowhash``/CDC columns) has its LIVE rows rewritten by a
+  distributed Ray pass, one task per fragment;
+- the emitted protocol is ``minReaderVersion=1`` / ``minWriterVersion=2``
+  with no table features, so ANY Delta reader (delta-rs, Spark, DuckDB
+  delta extension, Trino) can consume it — deletion vectors are
+  materialized away rather than exported as the v3 DV feature, trading
+  rewrite IO once at export for universal readability.
+
+At 10^12-image scale the rewrite pass is fragment-parallel and streams
+(nothing driver-side but the manifest-sized add list); the hardlink
+loop is a metadata-only driver pass — on a multi-node object store it
+becomes a server-side copy fan-out through the same ``adopt_file``
+seam.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import time
+import urllib.parse
+import uuid
+from dataclasses import asdict
+
+import pyarrow as pa
+
+from .fs import for_root
+from .manifest import FragmentMeta, load
+
+DELTA_LOG_DIR = "_delta_log"
+
+# engine type vocabulary (schema.py) -> Delta primitive type names
+# (PROTOCOL.md "Schema Serialization Format")
+_DELTA_TYPES = {
+    "string": "string",
+    "binary": "binary",
+    "bool": "boolean",
+    "int8": "byte",
+    "int16": "short",
+    "int32": "integer",
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "timestamp[us]": "timestamp",
+    "date32": "date",
+}
+
+
+def _delta_type(name: str):
+    got = _DELTA_TYPES.get(name)
+    if got is not None:
+        return got
+    if name.startswith("decimal128(") and name.endswith(")"):
+        body = name[len("decimal128("):-1]
+        parts = [int(p) for p in body.split(",")] + [0]
+        return f"decimal({parts[0]},{parts[1]})"
+    if name.startswith("list<") and name.endswith(">"):
+        return {"type": "array", "elementType": _delta_type(name[5:-1]),
+                "containsNull": True}
+    raise ValueError(f"column type {name!r} has no Delta equivalent")
+
+
+def _delta_schema_string(schema_list: list[list[str]]) -> str:
+    fields = [{"name": n, "type": _delta_type(t), "nullable": True,
+               "metadata": {}} for n, t in schema_list]
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _stats_json(rows: int, stats: dict[str, list]) -> str:
+    """Delta per-file stats: numRecords always; min/maxValues from the
+    fragment zone maps (exact — a hardlinked file IS its fragment, and
+    rewrites recompute them on the written rows). Binary columns never
+    carry zone maps (fragments.STATS_COLUMNS), so every value here is
+    JSON-native."""
+    d: dict = {"numRecords": rows}
+    if stats:
+        d["minValues"] = {c: v[0] for c, v in stats.items()}
+        d["maxValues"] = {c: v[1] for c, v in stats.items()}
+    return json.dumps(d)
+
+
+def _is_clean(rootfs, frag: FragmentMeta, schema_names: list[str]) -> bool:
+    """Hardlinkable as-is: the physical file's live rows under the
+    active schema are exactly its bytes — no DV, no adopted-file span
+    (several fragments share that file), no schema drift (pre-ALTER
+    file, hidden ``_rowhash`` / CDC bookkeeping columns)."""
+    if frag.dv or frag.rg_span or frag.rows == 0:
+        return False
+    return list(rootfs.parquet_schema(frag.path).names) == schema_names
+
+
+def _export_rel(frag: FragmentMeta, schema_names: list[str],
+                clean: bool) -> str:
+    """Deterministic data-file name. A clean fragment's exported bytes
+    ARE its immutable fragment file, so the bare fragment id suffices;
+    a rewrite's content additionally depends on the DV state, the
+    adopted-file span and the conformed schema, so those are folded
+    into the name — incremental sync then detects 'this fragment's
+    live rows changed' purely by name comparison."""
+    if clean:
+        return f"part-{frag.fragment_id}.parquet"
+    import hashlib
+    tag = hashlib.md5(json.dumps(
+        [frag.dv["path"] if frag.dv else None,
+         frag.dv["count"] if frag.dv else 0,
+         frag.rg_span, schema_names]).encode()).hexdigest()[:10]
+    return f"part-{frag.fragment_id}-{tag}.parquet"
+
+
+class _RewriteLive:
+    """map_batches callable: one (META, target-name) row -> write that
+    fragment's live rows as a Delta data file, return its add-action
+    ingredients."""
+
+    def __init__(self, root: str, dest: str, schema_list: list):
+        self.root, self.dest, self.schema_list = root, dest, schema_list
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .fragments import _col_stats, read_fragment
+        from .schema import conform_table, schema_from_list
+        schema = schema_from_list(self.schema_list)
+        destfs = for_root(self.dest)
+        out = {"path": [], "rows": [], "size": [], "stats": []}
+        for row in batch.to_pylist():
+            meta = FragmentMeta.from_dict(json.loads(row["meta"]))
+            t = read_fragment(self.root, meta, tolerant_columns=True)
+            t = conform_table(t, schema)
+            if t.num_rows == 0:  # fully-deleted fragment: no data file
+                continue
+            rel = row["rel"]
+            destfs.write_parquet_atomic(t, rel)
+            out["path"].append(rel)
+            out["rows"].append(t.num_rows)
+            out["size"].append(destfs.size(rel))
+            out["stats"].append(_stats_json(t.num_rows, _col_stats(t)))
+        return pa.table({"path": pa.array(out["path"], pa.string()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "size": pa.array(out["size"], pa.int64()),
+                         "stats": pa.array(out["stats"], pa.string())})
+
+
+def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
+                 schema_list: list, now_ms: int,
+                 skip_rels: frozenset = frozenset()) -> tuple[list, int]:
+    """Write the data files for ``fragments`` into ``dest`` (hardlink
+    clean ones, rewrite live rows of the rest fragment-parallel),
+    skipping targets already present from an earlier export. Returns
+    (add actions, hardlinked count)."""
+    import ray.data as rd
+
+    rootfs, destfs = for_root(root), for_root(dest)
+    schema_names = [n for n, _ in schema_list]
+    adds: list[dict] = []
+    n_hard = 0
+    dirty: list[tuple[FragmentMeta, str]] = []
+    for f in fragments:
+        if f.live_rows == 0:
+            continue
+        clean = _is_clean(rootfs, f, schema_names)
+        rel = _export_rel(f, schema_names, clean)
+        if rel in skip_rels:
+            continue
+        if clean:  # metadata-only: hardlink (or server-side copy)
+            destfs.adopt_file(rootfs.full(f.path), rel)
+            n_hard += 1
+            adds.append({"path": urllib.parse.quote(rel),
+                         "partitionValues": {}, "size": f.size_bytes,
+                         "modificationTime": now_ms, "dataChange": True,
+                         "stats": _stats_json(f.rows, f.stats)})
+        else:
+            dirty.append((f, rel))
+    if dirty:
+        metas = [{"meta": json.dumps(asdict(f)), "rel": rel}
+                 for f, rel in dirty]
+        ds = rd.from_items(metas, override_num_blocks=len(metas))
+        written = ds.map_batches(_RewriteLive(root, dest, schema_list),
+                                 batch_size=1, batch_format="pyarrow")
+        for row in written.take_all():  # one row per fragment: tiny
+            adds.append({"path": urllib.parse.quote(row["path"]),
+                         "partitionValues": {}, "size": row["size"],
+                         "modificationTime": now_ms, "dataChange": True,
+                         "stats": row["stats"]})
+    return adds, n_hard
+
+
+def _metadata_action(table_id: str, schema_list: list, now_ms: int) -> dict:
+    return {"metaData": {"id": table_id,
+                         "format": {"provider": "parquet", "options": {}},
+                         "schemaString": _delta_schema_string(schema_list),
+                         "partitionColumns": [], "configuration": {},
+                         "createdTime": now_ms}}
+
+
+def _resolve_version(root: str, version, at_lsn):
+    if at_lsn is not None:
+        if version is not None:
+            raise ValueError("pass version or at_lsn, not both")
+        from .manifest import version_at_lsn
+        version = version_at_lsn(root, at_lsn)
+    return load(root, version)
+
+
+def export_delta(root: str, dest: str, version: int | None = None, *,
+                 at_lsn: int | None = None) -> dict:
+    """Export one committed snapshot as a brand-new Delta Lake table at
+    ``dest`` (must not already hold a ``_delta_log``). Returns a
+    summary dict. Snapshot isolation carries over: the export reads
+    only the immutable fragments/DVs of the named version, so it is
+    byte-stable under concurrent maintenance commits. Keep the Delta
+    table current afterwards with :func:`sync_delta`."""
+    snap = _resolve_version(root, version, at_lsn)
+    from .schema import schema_to_list, table_schema
+    schema_list = schema_to_list(table_schema(snap))
+
+    rootfs, destfs = for_root(root), for_root(dest)
+    if destfs.exists(DELTA_LOG_DIR):
+        raise ValueError(f"{dest!r} already holds a Delta log; export "
+                         "targets a fresh directory (sync_delta updates "
+                         "an existing one)")
+    destfs.makedirs(DELTA_LOG_DIR)
+
+    now_ms = int(time.time() * 1000)
+    adds, n_hard = _materialize(root, dest, snap.fragments, schema_list,
+                                now_ms)
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL,
+                              f"moonlink_ray:{rootfs.full()}:v{snap.version}"))
+    actions = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                        "operationParameters": {"mode": "ErrorIfExists"},
+                        "engineInfo": "moonlink_ray",
+                        "sourceSnapshot": {"root": rootfs.full(),
+                                           "version": snap.version,
+                                           "max_lsn": snap.max_lsn}}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _metadata_action(table_id, schema_list, now_ms),
+    ] + [{"add": a} for a in sorted(adds, key=lambda a: a["path"])]
+    destfs.write_text_atomic(f"{DELTA_LOG_DIR}/{0:020d}.json",
+                             "\n".join(json.dumps(a) for a in actions))
+    return {"dest": destfs.full(), "delta_version": 0,
+            "source_version": snap.version, "files": len(adds),
+            "hardlinked": n_hard, "rewritten": len(adds) - n_hard,
+            "rows": sum(json.loads(a["stats"])["numRecords"] for a in adds),
+            "bytes": sum(a["size"] for a in adds)}
+
+
+def sync_delta(root: str, dest: str, version: int | None = None) -> dict:
+    """Bring an existing Delta export up to date with a newer snapshot
+    — the batch analog of moonlink syncing EVERY commit into Iceberg
+    (``iceberg_table_syncer.rs:505-595``: upload new files, merge DV
+    puffins, drop removed files, one metadata commit).
+
+    Incremental by construction: each fragment's exported file name is
+    a pure function of its live-row content (see ``_export_rel``), so
+    fragments untouched since the last export are carried over by name
+    (no IO), changed/new ones are materialized, and stale data files
+    get ``remove`` actions in one new log version (Delta readers keep
+    time travel; the removed files stay on disk until a vacuum).
+
+    The log version is published with a conditional put (the same
+    compare-and-swap discipline as ``manifest.commit``), so two racing
+    syncs cannot both claim version N+1."""
+    snap = _resolve_version(root, version, None)
+    from .schema import schema_to_list, table_schema
+    schema_list = schema_to_list(table_schema(snap))
+    schema_names = [n for n, _ in schema_list]
+
+    rootfs, destfs = for_root(root), for_root(dest)
+    log_names = sorted(n for n in destfs.listdir(DELTA_LOG_DIR)
+                       if n.endswith(".json"))
+    if not log_names:
+        raise FileNotFoundError(f"no Delta log at {dest!r}; export_delta "
+                                "creates the initial table")
+    live: dict[str, dict] = {}      # quoted path -> add action
+    table_id, last_schema = None, None
+    for name in log_names:
+        for line in destfs.read_text(f"{DELTA_LOG_DIR}/{name}").splitlines():
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                live[act["add"]["path"]] = act["add"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+            elif "metaData" in act:
+                table_id = act["metaData"]["id"]
+                last_schema = act["metaData"]["schemaString"]
+
+    expected = {}
+    for f in snap.fragments:
+        if f.live_rows == 0:
+            continue
+        rel = _export_rel(f, schema_names,
+                          _is_clean(rootfs, f, schema_names))
+        expected[urllib.parse.quote(rel)] = f
+    removes = sorted(set(live) - set(expected))
+    now_ms = int(time.time() * 1000)
+    adds, n_hard = _materialize(
+        root, dest, list(snap.fragments), schema_list, now_ms,
+        skip_rels=frozenset(urllib.parse.unquote(p) for p in live))
+    schema_str = _delta_schema_string(schema_list)
+    if not adds and not removes and schema_str == last_schema:
+        return {"dest": destfs.full(), "delta_version": len(log_names) - 1,
+                "source_version": snap.version, "files": len(live),
+                "added": 0, "removed": 0, "hardlinked": 0, "noop": True}
+
+    actions = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "WRITE",
+        "operationParameters": {"mode": "Append"},
+        "engineInfo": "moonlink_ray",
+        "sourceSnapshot": {"root": rootfs.full(), "version": snap.version,
+                           "max_lsn": snap.max_lsn}}}]
+    if schema_str != last_schema:
+        actions.append(_metadata_action(table_id, schema_list, now_ms))
+    actions += [{"remove": {"path": p, "deletionTimestamp": now_ms,
+                            "dataChange": True}} for p in removes]
+    actions += [{"add": a} for a in sorted(adds, key=lambda a: a["path"])]
+    delta_v = len(log_names)
+    if not destfs.create_exclusive(f"{DELTA_LOG_DIR}/{delta_v:020d}.json",
+                                   "\n".join(json.dumps(a) for a in actions)):
+        raise RuntimeError(f"concurrent sync already published Delta "
+                           f"version {delta_v}")
+    return {"dest": destfs.full(), "delta_version": delta_v,
+            "source_version": snap.version,
+            "files": len(live) - len(removes) + len(adds),
+            "added": len(adds), "removed": len(removes),
+            "hardlinked": n_hard, "noop": False}
+
+
+def delta_active_files(dest: str) -> list[str]:
+    """Replay a Delta log (add/remove actions across versions, spec
+    'Action Reconciliation') and return the ABSOLUTE paths of the
+    table's current data files — a second, independent consumer of the
+    log used by tests/queries so the export is verified through the
+    published contract, not through this module's writer."""
+    destfs = for_root(dest)
+    names = sorted(n for n in destfs.listdir(DELTA_LOG_DIR)
+                   if n.endswith(".json"))
+    if not names:
+        raise FileNotFoundError(f"no Delta log at {dest!r}")
+    live: dict[str, bool] = {}
+    for name in names:
+        for line in destfs.read_text(
+                f"{DELTA_LOG_DIR}/{name}").splitlines():
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                live[act["add"]["path"]] = True
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+    return [destfs.full(urllib.parse.unquote(p)) for p in sorted(live)]
+
+
+def export_lance(root: str, dest: str, version: int | None = None) -> dict:
+    """Lance-format export — the north rule's native table framing.
+    The ``lance`` wheel is not in this environment, so this is a GATED
+    path (same policy as the ffmpeg-less video stage): with the package
+    present it streams ``scan(root, version)`` batch-wise into
+    ``lance.write_dataset``; without it, a clear NotImplementedError
+    points at the Delta export as the working interop route."""
+    try:
+        import lance
+    except ImportError as e:
+        raise NotImplementedError(
+            "Lance export needs the 'lance' package (absent in this "
+            "environment); use export_delta() for an interoperable "
+            "snapshot export") from e
+    from .schema import table_schema
+    from .sources.scan import scan
+    snap = load(root, version)
+    ds = scan(root, version=snap.version)
+    schema = table_schema(snap)
+
+    def batches():
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            for rb in t.select(schema.names).combine_chunks().to_batches():
+                yield rb
+    lance.write_dataset(pa.RecordBatchReader.from_batches(schema, batches()),
+                        dest)
+    return {"dest": dest, "source_version": snap.version,
+            "rows": snap.total_rows}

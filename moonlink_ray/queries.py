@@ -259,6 +259,25 @@ def maint_follow(sf_dir: str):
     return _scan_digested(root)
 
 
+def maint_export_delta(sf_dir: str):
+    """Interop export: MERGE the CDC batch, export the snapshot as a
+    Delta Lake table, then read the result back THROUGH the Delta log
+    alone (no engine code on the read path) — digest-for-digest equal
+    to the merged table, i.e. the same _MERGED_SQL oracle as
+    maint_merge."""
+    import ray.data as rd
+
+    from .export import delta_active_files, export_delta
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "expdelta")
+    merge(root, fix["cdc"])
+    dest = os.path.join(DATA_ROOT, _sf_name(sf_dir), "delta-export")
+    shutil.rmtree(dest, ignore_errors=True)
+    export_delta(root, dest)
+    return rd.read_parquet(delta_active_files(dest)).map_batches(
+        _digest_bytes, batch_format="pyarrow", batch_size=None)
+
+
 def maint_cluster_hilbert(sf_dir: str):
     """Hilbert-curve variant of the cluster rewrite (north rule names
     both curves); content-equality oracle is identical — only the
@@ -962,6 +981,7 @@ def queries():
         "maint_optimize": maint_optimize,
         "maint_optimize_incremental": maint_optimize_incremental,
         "maint_follow": maint_follow,
+        "maint_export_delta": maint_export_delta,
         "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
         "maint_load_files": maint_load_files,
@@ -1081,6 +1101,7 @@ def oracle_sql():
         "maint_optimize": _MERGED_SQL,
         "maint_optimize_incremental": _MERGED_SQL,
         "maint_follow": _MERGED_SQL,
+        "maint_export_delta": _MERGED_SQL,
         "maint_expire": _MERGED_SQL,
         "maint_load_files": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE})",
