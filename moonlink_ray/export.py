@@ -151,7 +151,15 @@ class _RewriteLive:
             if t.num_rows == 0:  # fully-deleted fragment: no data file
                 continue
             rel = row["rel"]
-            destfs.write_parquet_atomic(t, rel)
+            # same write profile as the fragment writer: image payloads
+            # are codec-compressed already, so snappy/dictionary only
+            # burn a memory pass; moderate row groups keep a column-
+            # pruned external read from dragging payload bytes
+            from .fragments import ROW_GROUP_SIZE
+            destfs.write_parquet_atomic(t, rel,
+                                        row_group_size=ROW_GROUP_SIZE,
+                                        compression="NONE",
+                                        use_dictionary=False)
             out["path"].append(rel)
             out["rows"].append(t.num_rows)
             out["size"].append(destfs.size(rel))
