@@ -244,7 +244,12 @@ def export_delta(root: str, dest: str, version: int | None = None, *,
     schema_list = schema_to_list(table_schema(snap))
 
     rootfs, destfs = for_root(root), for_root(dest)
-    if destfs.exists(DELTA_LOG_DIR):
+    # guard on committed log FILES, not the directory: a killed export
+    # leaves data files + an empty log dir, and every materialize step
+    # is idempotent (atomic writes, adopt_file no-ops on existing), so
+    # simply re-running the export resumes and commits it
+    if destfs.exists(DELTA_LOG_DIR) and any(
+            n.endswith(".json") for n in destfs.listdir(DELTA_LOG_DIR)):
         raise ValueError(f"{dest!r} already holds a Delta log; export "
                          "targets a fresh directory (sync_delta updates "
                          "an existing one)")

@@ -187,6 +187,31 @@ def test_sync_delta_incremental(tmp_path):
     assert got2.num_rows == want.num_rows
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_export_restart_after_kill(tmp_path):
+    """A killed export (data files written, log dir created, but NO log
+    version committed) restarts by simply re-running export_delta: the
+    materialize steps are idempotent and the log publish is the only
+    commit point."""
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 96, rows_per_fragment=32)
+    cdc = str(tmp_path / "cdc.parquet")
+    write_cdc_parquet(cdc, n_base=96, n_ops=30)
+    merge(root, cdc)
+    dest = str(tmp_path / "delta")
+    # simulate the kill right before the log publish: all data files
+    # are on disk (every write is atomic — hardlink or tmp+rename, so
+    # no torn finals exist), the log dir exists, no log version does
+    export_delta(root, dest)
+    os.remove(os.path.join(dest, DELTA_LOG_DIR, f"{0:020d}.json"))
+    out = export_delta(root, dest)
+    assert out["files"] > 0
+    got = _duckdb_read(dest)
+    want = scan_arrow(root, sort_by="image_id")
+    assert got.num_rows == want.num_rows
+    assert got["image_id"].to_pylist() == want["image_id"].to_pylist()
+
+
 def test_lance_export_gated(tmp_path):
     with pytest.raises(NotImplementedError, match="lance"):
         export_lance(str(tmp_path / "t"), str(tmp_path / "l"))
