@@ -51,6 +51,9 @@ from .fs import for_root
 from .manifest import FragmentMeta, load
 
 DELTA_LOG_DIR = "_delta_log"
+# fan hardlink adoption out through Ray above this many clean fragments
+# (below it, per-task dispatch costs more than the driver loop)
+_RAY_ADOPT_THRESHOLD = 512
 
 # engine type vocabulary (schema.py) -> Delta primitive type names
 # (PROTOCOL.md "Schema Serialization Format")
@@ -182,7 +185,7 @@ def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
     rootfs, destfs = for_root(root), for_root(dest)
     schema_names = [n for n, _ in schema_list]
     adds: list[dict] = []
-    n_hard = 0
+    clean_pairs: list[tuple[FragmentMeta, str]] = []
     dirty: list[tuple[FragmentMeta, str]] = []
     for f in fragments:
         if f.live_rows == 0:
@@ -191,15 +194,33 @@ def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
         rel = _export_rel(f, schema_names, clean)
         if rel in skip_rels:
             continue
-        if clean:  # metadata-only: hardlink (or server-side copy)
+        (clean_pairs if clean else dirty).append((f, rel))
+    # clean fragments: metadata-only adopt (hardlink / server-side
+    # copy). A driver loop below a threshold; above it, fan the adopts
+    # out as a tiny Ray pass (same pattern as expire's bulk delete) —
+    # at 10^12-image manifests the driver never serializes a
+    # per-fragment filesystem round-trip
+    if len(clean_pairs) >= _RAY_ADOPT_THRESHOLD:
+        items = [{"src": rootfs.full(f.path), "rel": rel}
+                 for f, rel in clean_pairs]
+        ds = rd.from_items(items)
+
+        def adopt(batch: pa.Table) -> pa.Table:
+            dfs = for_root(dest)
+            for row in batch.to_pylist():
+                dfs.adopt_file(row["src"], row["rel"])
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        ds.map_batches(adopt, batch_format="pyarrow").take_all()
+    else:
+        for f, rel in clean_pairs:
             destfs.adopt_file(rootfs.full(f.path), rel)
-            n_hard += 1
-            adds.append({"path": urllib.parse.quote(rel),
-                         "partitionValues": {}, "size": f.size_bytes,
-                         "modificationTime": now_ms, "dataChange": True,
-                         "stats": _stats_json(f.rows, f.stats)})
-        else:
-            dirty.append((f, rel))
+    n_hard = len(clean_pairs)
+    for f, rel in clean_pairs:
+        adds.append({"path": urllib.parse.quote(rel),
+                     "partitionValues": {}, "size": f.size_bytes,
+                     "modificationTime": now_ms, "dataChange": True,
+                     "stats": _stats_json(f.rows, f.stats)})
     if dirty:
         metas = [{"meta": json.dumps(asdict(f)), "rel": rel}
                  for f, rel in dirty]

@@ -212,6 +212,50 @@ def test_export_restart_after_kill(tmp_path):
     assert got["image_id"].to_pylist() == want["image_id"].to_pylist()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_export_adopt_fanout(tmp_path, monkeypatch):
+    """Above the threshold, clean-fragment adoption fans out through a
+    Ray pass instead of a driver loop — same result, hardlinks
+    included."""
+    import moonlink_ray.export as ex
+    monkeypatch.setattr(ex, "_RAY_ADOPT_THRESHOLD", 2)
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 96, rows_per_fragment=32)
+    dest = str(tmp_path / "delta")
+    out = export_delta(root, dest)
+    assert out["hardlinked"] == out["files"] == 3
+    adds = [a["add"] for a in _log_actions(dest) if "add" in a]
+    assert all(os.stat(os.path.join(dest, a["path"])).st_nlink > 1
+               for a in adds)
+    got = _duckdb_read(dest)
+    assert got.num_rows == 96
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_to_mock_object_store(tmp_path):
+    """Export dest routed through the pluggable fs seam: a mock://
+    object-store destination gets the byte-copy adopt path (no
+    hardlinks on object stores), the log via atomic text write, and is
+    read back through delta_active_files + the dest fs only. (The mock
+    store is per-process, so this covers the driver-side clean-export
+    path; rewrites run in Ray workers and need a shared store.)"""
+    from moonlink_ray.export import DELTA_LOG_DIR as LOG
+    from moonlink_ray.fs import for_root
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 96, rows_per_fragment=32)
+    dest = "mock://exports/delta1"
+    out = export_delta(root, dest)
+    assert out["hardlinked"] == out["files"] > 0
+    destfs = for_root(dest)
+    assert any(n.endswith(".json") for n in destfs.listdir(LOG))
+    paths = delta_active_files(dest)
+    total = 0
+    for p in paths:
+        rel = p.split("delta1/", 1)[1]
+        total += destfs.read_parquet(rel).num_rows
+    assert total == 96
+
+
 def test_lance_export_gated(tmp_path):
     with pytest.raises(NotImplementedError, match="lance"):
         export_lance(str(tmp_path / "t"), str(tmp_path / "l"))
