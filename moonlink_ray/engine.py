@@ -16,6 +16,7 @@ maintenance job, designed to be launched via ``ray job submit``:
     python -m moonlink_ray.engine scan-manifest --root T [--snapshot V | --at-lsn L]
     python -m moonlink_ray.engine export-delta --root T --out DIR [--snapshot V]
     python -m moonlink_ray.engine sync-delta --root T --out DIR  # incremental
+    python -m moonlink_ray.engine vacuum-delta --out DIR --keep-last 2
     python -m moonlink_ray.engine alter    --root T [--add tag:string] [--drop caption]
     python -m moonlink_ray.engine status   --root T
     python -m moonlink_ray.engine config   --root T [--set compaction.small_file_bytes=8388608]
@@ -95,6 +96,11 @@ def main(argv=None):
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--out", required=True,
                    help="existing Delta export to bring up to date")
+    s = sub.add_parser("vacuum-delta")  # export-side GC: no table root
+    s.add_argument("--out", required=True,
+                   help="Delta export to garbage-collect")
+    s.add_argument("--keep-last", type=int, default=2,
+                   help="log versions kept time-travelable")
     s = add("alter")
     s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
                    help="columns to add, e.g. tag:string score:float64")
@@ -209,6 +215,9 @@ def main(argv=None):
     elif args.cmd == "sync-delta":
         from .export import sync_delta
         out = sync_delta(args.root, args.out, version=args.snapshot)
+    elif args.cmd == "vacuum-delta":
+        from .export import vacuum_delta
+        out = vacuum_delta(args.out, keep_last=args.keep_last)
     elif args.cmd == "alter":
         from .schema import alter_table, table_schema
         adds = [tuple(a.split(":", 1)) for a in args.add]

@@ -408,6 +408,43 @@ def delta_active_files(dest: str) -> list[str]:
     return [destfs.full(urllib.parse.unquote(p)) for p in sorted(live)]
 
 
+def vacuum_delta(dest: str, *, keep_last: int = 2) -> dict:
+    """Physically delete data files that no retained Delta log version
+    references — the export-side counterpart of the table's own
+    ``expire`` (snapshot retention + orphan GC). ``keep_last`` log
+    versions stay time-travelable: a file is deleted only when it is
+    absent from the live set of EVERY retained version (standard Delta
+    VACUUM semantics, with version-count retention instead of
+    wall-clock). Also removes orphan ``part-*`` files no log version
+    ever referenced (debris of a killed export re-run)."""
+    destfs = for_root(dest)
+    names = sorted(n for n in destfs.listdir(DELTA_LOG_DIR)
+                   if n.endswith(".json"))
+    if not names:
+        raise FileNotFoundError(f"no Delta log at {dest!r}")
+    retained = names[-max(1, keep_last):]
+    live: dict[str, bool] = {}
+    keep: set[str] = set()
+    for name in names:
+        for line in destfs.read_text(f"{DELTA_LOG_DIR}/{name}").splitlines():
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                live[act["add"]["path"]] = True
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+        if name in retained:  # live set AS OF a retained version
+            keep.update(urllib.parse.unquote(p) for p in live)
+    deleted = 0
+    for n in destfs.listdir(""):
+        if n.startswith("part-") and n.endswith(".parquet") \
+                and n not in keep:
+            deleted += bool(destfs.delete(n))
+    return {"dest": destfs.full(), "deleted": deleted,
+            "retained_versions": len(retained), "kept_files": len(keep)}
+
+
 def export_lance(root: str, dest: str, version: int | None = None) -> dict:
     """Lance-format export — the north rule's native table framing.
     The ``lance`` wheel is not in this environment, so this is a GATED

@@ -213,6 +213,43 @@ def test_export_restart_after_kill(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_vacuum_delta_retention(tmp_path):
+    """Export-side GC: files dropped by a sync stay on disk while any
+    retained log version references them (time travel), and are
+    physically deleted once retention passes them by."""
+    from moonlink_ray.export import sync_delta, vacuum_delta
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 96, rows_per_fragment=32)
+    dest = str(tmp_path / "delta")
+    export_delta(root, dest)
+    v0_files = set(delta_active_files(dest))
+    cdc = str(tmp_path / "cdc.parquet")
+    write_cdc_parquet(cdc, n_base=96, n_ops=40)
+    merge(root, cdc)
+    out = sync_delta(root, dest)
+    assert out["removed"] > 0
+    dropped = v0_files - set(delta_active_files(dest))
+    assert dropped and all(os.path.exists(p) for p in dropped)
+
+    # keep_last=2 retains v0 -> nothing is deletable yet
+    assert vacuum_delta(dest, keep_last=2)["deleted"] == 0
+    assert all(os.path.exists(p) for p in dropped)
+    # keep_last=1 retains only v1 -> v0-only files go away
+    got_before = _duckdb_read(dest)
+    rep = vacuum_delta(dest, keep_last=1)
+    assert rep["deleted"] == len(dropped)
+    assert not any(os.path.exists(p) for p in dropped)
+    # the current version still reads identically after the vacuum
+    assert _duckdb_read(dest).equals(got_before)
+    # orphan debris (never referenced by any log version) is swept too
+    orphan = os.path.join(dest, "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    assert vacuum_delta(dest, keep_last=1)["deleted"] == 1
+    assert not os.path.exists(orphan)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_export_adopt_fanout(tmp_path, monkeypatch):
     """Above the threshold, clean-fragment adoption fans out through a
     Ray pass instead of a driver loop — same result, hardlinks
