@@ -83,6 +83,14 @@ def _delta_type(name: str):
     if name.startswith("list<") and name.endswith(">"):
         return {"type": "array", "elementType": _delta_type(name[5:-1]),
                 "containsNull": True}
+    if name == "time64[us]":
+        # intentional gap: the Delta protocol has no TIME type, and
+        # declaring `long` over parquet TIME(us)-annotated files would
+        # hand readers a logical-type mismatch. Drop or cast the column
+        # (ALTER) before exporting.
+        raise ValueError("column type 'time64[us]' has no Delta "
+                         "equivalent (the Delta protocol defines no TIME "
+                         "type); drop or cast the column before export")
     raise ValueError(f"column type {name!r} has no Delta equivalent")
 
 
@@ -105,31 +113,42 @@ def _stats_json(rows: int, stats: dict[str, list]) -> str:
     return json.dumps(d)
 
 
-def _is_clean(rootfs, frag: FragmentMeta, schema_names: list[str]) -> bool:
+def _is_clean(rootfs, frag: FragmentMeta, schema_list: list) -> bool:
     """Hardlinkable as-is: the physical file's live rows under the
     active schema are exactly its bytes — no DV, no adopted-file span
     (several fragments share that file), no schema drift (pre-ALTER
-    file, hidden ``_rowhash`` / CDC bookkeeping columns)."""
+    file, hidden ``_rowhash`` / CDC bookkeeping columns). The compare is
+    over full (name, type) pairs: an ALTER drop + re-add of a name with
+    a different type leaves names identical while the physical parquet
+    type diverges from the published schemaString, so names alone would
+    hardlink a mistyped file."""
     if frag.dv or frag.rg_span or frag.rows == 0:
         return False
-    return list(rootfs.parquet_schema(frag.path).names) == schema_names
+    from .schema import schema_to_list
+    try:
+        return schema_to_list(rootfs.parquet_schema(frag.path)) == \
+            [list(p) for p in schema_list]
+    except ValueError:
+        return False  # file holds a type outside the engine vocabulary
 
 
-def _export_rel(frag: FragmentMeta, schema_names: list[str],
+def _export_rel(frag: FragmentMeta, schema_list: list,
                 clean: bool) -> str:
     """Deterministic data-file name. A clean fragment's exported bytes
     ARE its immutable fragment file, so the bare fragment id suffices;
     a rewrite's content additionally depends on the DV state, the
-    adopted-file span and the conformed schema, so those are folded
-    into the name — incremental sync then detects 'this fragment's
-    live rows changed' purely by name comparison."""
+    adopted-file span and the conformed schema — names AND types, so a
+    type-only ALTER re-keys the rewrite — so those are folded into the
+    name; incremental sync then detects 'this fragment's live rows
+    changed' purely by name comparison."""
     if clean:
         return f"part-{frag.fragment_id}.parquet"
     import hashlib
     tag = hashlib.md5(json.dumps(
         [frag.dv["path"] if frag.dv else None,
          frag.dv["count"] if frag.dv else 0,
-         frag.rg_span, schema_names]).encode()).hexdigest()[:10]
+         frag.rg_span, [list(p) for p in schema_list]]).encode()
+    ).hexdigest()[:10]
     return f"part-{frag.fragment_id}-{tag}.parquet"
 
 
@@ -183,38 +202,39 @@ def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
     import ray.data as rd
 
     rootfs, destfs = for_root(root), for_root(dest)
-    schema_names = [n for n, _ in schema_list]
     adds: list[dict] = []
     clean_pairs: list[tuple[FragmentMeta, str]] = []
     dirty: list[tuple[FragmentMeta, str]] = []
     for f in fragments:
         if f.live_rows == 0:
             continue
-        clean = _is_clean(rootfs, f, schema_names)
-        rel = _export_rel(f, schema_names, clean)
+        clean = _is_clean(rootfs, f, schema_list)
+        rel = _export_rel(f, schema_list, clean)
         if rel in skip_rels:
             continue
         (clean_pairs if clean else dirty).append((f, rel))
-    # clean fragments: metadata-only adopt (hardlink / server-side
-    # copy). A driver loop below a threshold; above it, fan the adopts
-    # out as a tiny Ray pass (same pattern as expire's bulk delete) —
-    # at 10^12-image manifests the driver never serializes a
-    # per-fragment filesystem round-trip
+    # clean fragments: metadata-only adopt (hardlink on a shared local
+    # device, else a streamed copy through the SOURCE root's own
+    # backend — object-store table roots work too). A driver loop below
+    # a threshold; above it, fan the adopts out as a tiny Ray pass
+    # (same pattern as expire's bulk delete) — at 10^12-image manifests
+    # the driver never serializes a per-fragment filesystem round-trip
     if len(clean_pairs) >= _RAY_ADOPT_THRESHOLD:
-        items = [{"src": rootfs.full(f.path), "rel": rel}
+        items = [{"src_rel": f.path, "rel": rel}
                  for f, rel in clean_pairs]
         ds = rd.from_items(items)
 
         def adopt(batch: pa.Table) -> pa.Table:
-            dfs = for_root(dest)
+            sfs, dfs = for_root(root), for_root(dest)
             for row in batch.to_pylist():
-                dfs.adopt_file(row["src"], row["rel"])
+                dfs.adopt_file(sfs.full(row["src_rel"]), row["rel"],
+                               src_fs=sfs)
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
         ds.map_batches(adopt, batch_format="pyarrow").take_all()
     else:
         for f, rel in clean_pairs:
-            destfs.adopt_file(rootfs.full(f.path), rel)
+            destfs.adopt_file(rootfs.full(f.path), rel, src_fs=rootfs)
     n_hard = len(clean_pairs)
     for f, rel in clean_pairs:
         adds.append({"path": urllib.parse.quote(rel),
@@ -259,7 +279,10 @@ def export_delta(root: str, dest: str, version: int | None = None, *,
     summary dict. Snapshot isolation carries over: the export reads
     only the immutable fragments/DVs of the named version, so it is
     byte-stable under concurrent maintenance commits. Keep the Delta
-    table current afterwards with :func:`sync_delta`."""
+    table current afterwards with :func:`sync_delta`.
+
+    Known type gap (intentional): ``time64[us]`` columns are rejected —
+    the Delta protocol defines no TIME type (see ``_delta_type``)."""
     snap = _resolve_version(root, version, at_lsn)
     from .schema import schema_to_list, table_schema
     schema_list = schema_to_list(table_schema(snap))
@@ -319,7 +342,6 @@ def sync_delta(root: str, dest: str, version: int | None = None) -> dict:
     snap = _resolve_version(root, version, None)
     from .schema import schema_to_list, table_schema
     schema_list = schema_to_list(table_schema(snap))
-    schema_names = [n for n, _ in schema_list]
 
     rootfs, destfs = for_root(root), for_root(dest)
     log_names = sorted(n for n in destfs.listdir(DELTA_LOG_DIR)
@@ -346,8 +368,8 @@ def sync_delta(root: str, dest: str, version: int | None = None) -> dict:
     for f in snap.fragments:
         if f.live_rows == 0:
             continue
-        rel = _export_rel(f, schema_names,
-                          _is_clean(rootfs, f, schema_names))
+        rel = _export_rel(f, schema_list,
+                          _is_clean(rootfs, f, schema_list))
         expected[urllib.parse.quote(rel)] = f
     removes = sorted(set(live) - set(expected))
     now_ms = int(time.time() * 1000)
@@ -408,7 +430,8 @@ def delta_active_files(dest: str) -> list[str]:
     return [destfs.full(urllib.parse.unquote(p)) for p in sorted(live)]
 
 
-def vacuum_delta(dest: str, *, keep_last: int = 2) -> dict:
+def vacuum_delta(dest: str, *, keep_last: int = 2,
+                 orphan_grace_s: float = 600.0) -> dict:
     """Physically delete data files that no retained Delta log version
     references — the export-side counterpart of the table's own
     ``expire`` (snapshot retention + orphan GC). ``keep_last`` log
@@ -416,7 +439,12 @@ def vacuum_delta(dest: str, *, keep_last: int = 2) -> dict:
     absent from the live set of EVERY retained version (standard Delta
     VACUUM semantics, with version-count retention instead of
     wall-clock). Also removes orphan ``part-*`` files no log version
-    ever referenced (debris of a killed export re-run)."""
+    ever referenced (debris of a killed export re-run) — but only when
+    older than ``orphan_grace_s``: a concurrent sync/export resume may
+    have just materialized data files whose log commit has not landed
+    yet, and sweeping those would break its subsequent commit. Files
+    some log version DID reference are exempt from the grace (their
+    removal is recorded, not in flight)."""
     destfs = for_root(dest)
     names = sorted(n for n in destfs.listdir(DELTA_LOG_DIR)
                    if n.endswith(".json"))
@@ -425,6 +453,7 @@ def vacuum_delta(dest: str, *, keep_last: int = 2) -> dict:
     retained = names[-max(1, keep_last):]
     live: dict[str, bool] = {}
     keep: set[str] = set()
+    referenced: set[str] = set()   # every file ANY log version added
     for name in names:
         for line in destfs.read_text(f"{DELTA_LOG_DIR}/{name}").splitlines():
             if not line.strip():
@@ -432,16 +461,25 @@ def vacuum_delta(dest: str, *, keep_last: int = 2) -> dict:
             act = json.loads(line)
             if "add" in act:
                 live[act["add"]["path"]] = True
+                referenced.add(urllib.parse.unquote(act["add"]["path"]))
             elif "remove" in act:
                 live.pop(act["remove"]["path"], None)
         if name in retained:  # live set AS OF a retained version
             keep.update(urllib.parse.unquote(p) for p in live)
-    deleted = 0
+    now = time.time()
+    deleted = skipped_young = 0
     for n in destfs.listdir(""):
-        if n.startswith("part-") and n.endswith(".parquet") \
-                and n not in keep:
-            deleted += bool(destfs.delete(n))
+        if not (n.startswith("part-") and n.endswith(".parquet")) \
+                or n in keep:
+            continue
+        if n not in referenced and orphan_grace_s > 0:
+            mt = destfs.mtime(n)
+            if mt is not None and now - mt < orphan_grace_s:
+                skipped_young += 1
+                continue
+        deleted += bool(destfs.delete(n))
     return {"dest": destfs.full(), "deleted": deleted,
+            "skipped_young_orphans": skipped_young,
             "retained_versions": len(retained), "kept_files": len(keep)}
 
 

@@ -175,12 +175,16 @@ class TableFS:
         finally:
             pf.close()
 
-    def adopt_file(self, src: str, rel: str) -> None:
-        """Register an existing immutable parquet file (a local path) as
-        a table artifact WITHOUT rewriting its payload: hardlink when the
-        table is on the same local device, else a byte copy published
-        with the usual write-then-rename discipline. Idempotent — safe
-        for concurrent adopters of the same file."""
+    def adopt_file(self, src: str, rel: str, *,
+                   src_fs: "TableFS | None" = None) -> None:
+        """Register an existing immutable parquet file as a table
+        artifact WITHOUT rewriting its payload: hardlink when source and
+        table share a local device, else a byte copy published with the
+        usual write-then-rename discipline. ``src`` is a path inside
+        ``src_fs`` (default: the local filesystem), so a source on an
+        object-store root (s3://, gs://, mock://) streams through its
+        own backend instead of failing on a local ``open()``.
+        Idempotent — safe for concurrent adopters of the same file."""
         import shutil
         if self.exists(rel):
             return
@@ -188,7 +192,9 @@ class TableFS:
         parent = posixpath.dirname(rel)
         if parent:
             self.makedirs(parent)
-        if isinstance(self.fs, pafs.LocalFileSystem):
+        src_local = src_fs is None or isinstance(src_fs.fs,
+                                                 pafs.LocalFileSystem)
+        if src_local and isinstance(self.fs, pafs.LocalFileSystem):
             try:
                 os.link(src, dst)
                 return
@@ -196,13 +202,19 @@ class TableFS:
                 return
             except OSError:
                 pass  # cross-device -> fall through to the byte copy
+
+        def _open_src():
+            if src_local:
+                return open(src, "rb")
+            return src_fs.fs.open_input_stream(src)
+
         if self.object_store:
-            with open(src, "rb") as fin, \
+            with _open_src() as fin, \
                     self.fs.open_output_stream(dst) as out:
                 shutil.copyfileobj(fin, out, length=8 << 20)
             return
         tmp = dst + f".tmp-{os.getpid()}"
-        with open(src, "rb") as fin, \
+        with _open_src() as fin, \
                 self.fs.open_output_stream(tmp) as out:
             shutil.copyfileobj(fin, out, length=8 << 20)
         self.fs.move(tmp, dst)
@@ -237,6 +249,12 @@ class TableFS:
 
     def size(self, rel: str) -> int:
         return self.fs.get_file_info(self.full(rel)).size
+
+    def mtime(self, rel: str) -> float | None:
+        """Last-modified time as a POSIX timestamp (None when the
+        backend reports none — treat as unknown/old)."""
+        mt = self.fs.get_file_info(self.full(rel)).mtime
+        return None if mt is None else mt.timestamp()
 
     def makedirs(self, rel: str) -> None:
         self.fs.create_dir(self.full(rel), recursive=True)

@@ -241,11 +241,18 @@ def test_vacuum_delta_retention(tmp_path):
     assert not any(os.path.exists(p) for p in dropped)
     # the current version still reads identically after the vacuum
     assert _duckdb_read(dest).equals(got_before)
-    # orphan debris (never referenced by any log version) is swept too
+    # orphan debris (never referenced by any log version): a YOUNG
+    # orphan is protected by the grace window (it may be a concurrent
+    # sync's not-yet-committed data file) ...
     orphan = os.path.join(dest, "part-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"x")
-    assert vacuum_delta(dest, keep_last=1)["deleted"] == 1
+    rep = vacuum_delta(dest, keep_last=1)
+    assert rep["deleted"] == 0 and rep["skipped_young_orphans"] == 1
+    assert os.path.exists(orphan)
+    # ... and is swept once older than the grace
+    assert vacuum_delta(dest, keep_last=1,
+                        orphan_grace_s=0.0)["deleted"] == 1
     assert not os.path.exists(orphan)
 
 
@@ -296,3 +303,43 @@ def test_export_to_mock_object_store(tmp_path):
 def test_lance_export_gated(tmp_path):
     with pytest.raises(NotImplementedError, match="lance"):
         export_lance(str(tmp_path / "t"), str(tmp_path / "l"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sync_detects_type_only_schema_drift(tmp_path):
+    """ALTER drop + re-add of a column NAME with a different type leaves
+    fragment column names identical while the physical parquet type
+    diverges from the published schemaString. The clean check compares
+    full (name, type) pairs, so such fragments must be REWRITTEN (cast
+    to the declared type), never hardlinked as clean."""
+    from moonlink_ray.export import sync_delta
+    from moonlink_ray.pipelines.compact import CompactionConfig, compact
+    from moonlink_ray.schema import alter_table
+
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 64, rows_per_fragment=16)
+    alter_table(root, add=[("score", "int32")])
+    # force-rewrite so fragments physically CONTAIN score:int32
+    compact(root, mode="full",
+            cfg=CompactionConfig(output_target_bytes=1 << 20))
+    dest = str(tmp_path / "delta")
+    out = export_delta(root, dest)
+    assert out["hardlinked"] == out["files"] > 0  # clean at this point
+
+    # type-only drift: same name, same position, wider type
+    alter_table(root, drop=["score"])
+    alter_table(root, add=[("score", "int64")])
+    rep = sync_delta(root, dest)
+    # every fragment stores int32 under a declared long -> all rewritten
+    assert rep["added"] > 0 and rep["hardlinked"] == 0
+    got = _duckdb_read(dest)
+    import pyarrow as pa
+    assert got.schema.field("score").type == pa.int64()
+    last_log = sorted(p for p in os.listdir(os.path.join(dest, DELTA_LOG_DIR))
+                      if p.endswith(".json"))[-1]
+    acts = [json.loads(ln) for ln in
+            open(os.path.join(dest, DELTA_LOG_DIR, last_log)) if ln.strip()]
+    sch = json.loads([a for a in acts if "metaData" in a]
+                     [-1]["metaData"]["schemaString"])
+    assert [f for f in sch["fields"] if f["name"] == "score"][0]["type"] \
+        == "long"
