@@ -76,6 +76,14 @@ def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
         from .stages.keys import row_hash
         table = table.append_column(
             ROWHASH_COL, pa.array(row_hash(table), pa.int64()))
+    keyfilter = None
+    if ROWHASH_COL in table.column_names:
+        # manifest-resident membership filter over the identity hashes:
+        # FullRow fall-through deletes probe it instead of reading every
+        # fragment's _rowhash column (see keyfilter module)
+        from . import keyfilter as kf
+        keyfilter = kf.build(
+            table[ROWHASH_COL].to_numpy(zero_copy_only=False))
     rel = fragment_path(fragment_id)
     # image payloads are already codec-compressed: dictionary encoding
     # and snappy on the binary column only burn a write-path memory pass
@@ -93,6 +101,7 @@ def write_fragment(root: str, table: pa.Table, fragment_id: str, *,
         lineage=sorted(lineage or []),
         max_lsn=max_lsn,
         zgen=zgen,
+        keyfilter=keyfilter,
     )
 
 

@@ -67,6 +67,12 @@ class FragmentMeta:
     # reader handoff uses it; see scan_manifest). None = whole file.
     # Row positions (``_pos``, DV entries) are span-relative.
     rg_span: list[int] | None = None
+    # compact key-hash membership filter (keyfilter.build dict) over the
+    # fragment's 64-bit identity hashes — written for FullRow tables so
+    # fall-through delete probes dispatch only to fragments that can
+    # match (the persisted_bucket_hash_map.rs analog). None on keyed
+    # tables (zone maps prune those) and on pre-upgrade manifests.
+    keyfilter: dict | None = None
 
     @property
     def live_rows(self) -> int:

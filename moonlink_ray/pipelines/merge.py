@@ -457,12 +457,16 @@ def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
     deterministically as the earliest (fragment_id, pos).
 
     Scale notes: the fold shuffles only CDC rows (bucketed by row
-    hash); delete matching reads only the stored _rowhash column of
-    each fragment (no zone-map pruning is possible for a hash
-    identity — the reference pays the same with its full-row hash
-    index probe); the fall-through set and its candidate positions are
-    O(unmatched deletes) — broadcast via ray.put and assigned on the
-    driver (bounded by the CDC's delete count, NOT by table size)."""
+    hash); delete matching first probes each fragment's manifest
+    key-hash filter (``keyfilter`` module — the analog of moonlink's
+    persisted bucket hash index, ``persisted_bucket_hash_map.rs:
+    25-310``, which is exactly what lets its FullRow deletes touch only
+    matching files) and reads the stored _rowhash column of ONLY the
+    fragments that can match — zone maps can't prune a hash identity,
+    the filter can; the fall-through set and its candidate positions
+    are O(unmatched deletes) — broadcast via ray.put and assigned
+    vectorized on the driver (bounded by the CDC's delete count, NOT
+    by table size)."""
     import ray
     import ray.data as rd
 
@@ -531,25 +535,59 @@ def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
             for h, c in rec.get("misses", {}).items():
                 misses[int(h)] = misses.get(int(h), 0) + int(c)
 
-    # delete-exactly-N: gather candidate (hash, frag, pos) rows for the
-    # fall-through hashes, assign the earliest N per hash, write DVs
+    # delete-exactly-N: prune fragments through their manifest key-hash
+    # filters (the persisted_bucket_hash_map.rs probe analog — a
+    # fragment whose filter rejects every fall-through hash is NEVER
+    # opened), gather candidate (hash, frag, pos) rows from the
+    # survivors, assign the earliest N per hash, write DVs
     dv_metas: dict[str, FragmentMeta] = {}
+    n_probed = n_pruned = 0
     if misses:
+        from .. import keyfilter as kf
         miss_arr = np.array(sorted(misses), dtype=np.int64)
-        miss_ref = ray.put(miss_arr)
-        items = [{"meta": json.dumps(asdict(f))} for f in snap.fragments
-                 if f.rows > 0]
-        cands = rd.from_items(items, override_num_blocks=max(1, len(items))) \
-            .map_batches(_FullrowCandidates(root, miss_ref), batch_size=1,
-                         batch_format="pyarrow").take_all()
-        cands.sort(key=lambda r: (r["hash"], r["frag"], r["pos"]))
+        probe_frags: list[FragmentMeta] = []
+        for f in snap.fragments:
+            if f.rows <= 0:
+                continue
+            if f.keyfilter is not None and \
+                    not kf.might_contain(f.keyfilter, miss_arr).any():
+                n_pruned += 1  # definite miss: no read dispatched
+                continue
+            probe_frags.append(f)
+        n_probed = len(probe_frags)
+        write_lineage(root, run_id, "fullrow-probe", {
+            "kind": "merge-fullrow-probe", "pruned": n_pruned,
+            "probed": sorted(f.fragment_id for f in probe_frags)})
+        cands = []
+        if probe_frags:
+            miss_ref = ray.put(miss_arr)
+            items = [{"meta": json.dumps(asdict(f))} for f in probe_frags]
+            cands = rd.from_items(items,
+                                  override_num_blocks=len(items)) \
+                .map_batches(_FullrowCandidates(root, miss_ref),
+                             batch_size=1,
+                             batch_format="pyarrow").take_all()
         kills: dict[str, list[int]] = {}
-        left = dict(misses)
-        for r in cands:
-            h = int(r["hash"])
-            if left.get(h, 0) > 0:
-                left[h] -= 1
-                kills.setdefault(r["frag"], []).append(int(r["pos"]))
+        if cands:
+            # vectorized earliest-quota[h] assignment per hash (order
+            # (hash, frag, pos), rank within hash group < quota) — the
+            # per-candidate work stays in numpy; state is O(candidates),
+            # bounded by unmatched deletes x duplicate count
+            hashes = np.array([r["hash"] for r in cands], dtype=np.int64)
+            frag_ids, finv = np.unique(
+                np.array([r["frag"] for r in cands], dtype=object),
+                return_inverse=True)
+            poss = np.array([r["pos"] for r in cands], dtype=np.int64)
+            order = np.lexsort((poss, finv, hashes))
+            h_o, f_o, p_o = hashes[order], finv[order], poss[order]
+            grp = np.flatnonzero(np.r_[True, h_o[1:] != h_o[:-1]])
+            lens = np.diff(np.r_[grp, len(h_o)])
+            rank = np.arange(len(h_o)) - np.repeat(grp, lens)
+            quota = np.array([misses[int(h)] for h in h_o[grp]],
+                             dtype=np.int64)
+            keep = rank < np.repeat(quota, lens)
+            for fi, p in zip(f_o[keep], p_o[keep]):
+                kills.setdefault(str(frag_ids[fi]), []).append(int(p))
         by_id = snap.frag_by_id()
         for frag_id, dead in kills.items():
             meta = by_id[frag_id]
@@ -574,6 +612,8 @@ def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
                       "metrics": {
                           "wall_sec": round(time.perf_counter() - t0, 3),
                           "fullrow_fallthrough": int(sum(misses.values())),
+                          "fullrow_probed": n_probed,
+                          "fullrow_pruned": n_pruned,
                           "dv_fragments": len(dv_metas)}},
                  expected_parent=snap.version)
     if cleanup != "defer":
