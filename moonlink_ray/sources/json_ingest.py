@@ -44,6 +44,28 @@ class JsonRowError(ValueError):
     pass
 
 
+def _has_decimal(t: pa.DataType) -> bool:
+    if pa.types.is_decimal(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _has_decimal(t.value_type)
+    return False
+
+
+def _decimal_src_ok(src: pa.DataType, dst: pa.DataType) -> bool:
+    """Decimal targets must be fed JSON strings (the reference's
+    converter rejects JSON numbers for Decimal128 outright —
+    json_converter.rs:133-146 — because a binary float has no exact
+    decimal identity). Checked recursively through list nesting."""
+    if pa.types.is_decimal(dst):
+        return (pa.types.is_string(src) or pa.types.is_large_string(src)
+                or pa.types.is_null(src) or pa.types.is_decimal(src))
+    if (pa.types.is_list(dst) or pa.types.is_large_list(dst)) and (
+            pa.types.is_list(src) or pa.types.is_large_list(src)):
+        return _decimal_src_ok(src.value_type, dst.value_type)
+    return True
+
+
 def _decode_b64(val, i: int, strict: bool):
     if val is None:
         return None, True
@@ -79,6 +101,16 @@ class JsonCdcParser:
             return pa.nulls(n, field.type)
         col = batch[field.name]
         src = col.type
+        if _has_decimal(field.type) and not _decimal_src_ok(src, field.type):
+            if self.strict:
+                raise JsonRowError(
+                    f"column {field.name}: decimal values must be JSON "
+                    f"strings, got {src} (json_converter.rs TypeMismatch)")
+            # tolerant: only all-null rows of the wrong-typed column keep
+            # their row; any actual value is inconvertible by contract
+            present = np.array([v is not None for v in col.to_pylist()])
+            ok &= ~present
+            return pa.nulls(n, field.type)
         if pa.types.is_timestamp(field.type) and (
                 pa.types.is_string(src) or pa.types.is_large_string(src)):
             pass  # Arrow's string->timestamp cast parses ISO-8601

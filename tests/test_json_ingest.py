@@ -202,3 +202,51 @@ def test_json_ingest_parametric_types(tmp_path):
                                schema_list=schema_to_list(
                                    table_schema(load(root))))
     assert parser_tol(bad).num_rows == 0
+
+
+def test_parser_decimal_requires_json_string():
+    """A JSON *number* for a decimal column is a TypeMismatch, exactly as
+    in the reference (json_converter.rs:133-146 accepts only strings for
+    Decimal128 — a binary double has no exact decimal identity). Strict
+    raises; tolerant drops only rows that actually carry a value."""
+    sch = [["image_id", "string"], ["price", "decimal128(9,2)"]]
+    bad = pa.table({"image_id": ["a", "b"],
+                    "price": pa.array([1.25, None], pa.float64())})
+    with pytest.raises(JsonRowError, match="price.*strings"):
+        JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
+    out = JsonCdcParser(strict=False, cdc=False, schema_list=sch)(bad)
+    assert out["image_id"].to_pylist() == ["b"]    # null decimal survives
+    assert out["price"].to_pylist() == [None]
+    # the same rule applies through list nesting
+    sch = [["image_id", "string"], ["prices", "list<decimal128(9,2)>"]]
+    bad = pa.table({"image_id": ["a"],
+                    "prices": pa.array([[1.25]], pa.list_(pa.float64()))})
+    with pytest.raises(JsonRowError, match="prices.*strings"):
+        JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
+    good = pa.table({"image_id": ["a"],
+                     "prices": pa.array([["1.25", "3.00"]],
+                                        pa.list_(pa.string()))})
+    out = JsonCdcParser(strict=True, cdc=False, schema_list=sch)(good)
+    from decimal import Decimal
+    assert out["prices"].to_pylist() == [[Decimal("1.25"), Decimal("3.00")]]
+
+
+def test_parser_nested_list_conversion():
+    """list<list<int32>> converts recursively with element validation —
+    the reference's nested-list path (json_converter.rs:153-184,
+    indexed error paths like nested_list.item[1].item[0])."""
+    sch = [["image_id", "string"], ["grid", "list<list<int32>>"]]
+    good = pa.table({"image_id": ["a", "b"],
+                     "grid": pa.array([[[1, 2], [3]], None],
+                                      pa.list_(pa.list_(pa.int64())))})
+    out = JsonCdcParser(strict=True, cdc=False, schema_list=sch)(good)
+    assert out["grid"].to_pylist() == [[[1, 2], [3]], None]
+    assert out.schema.field("grid").type == pa.list_(pa.list_(pa.int32()))
+    # an element overflowing int32 is a typed error, not silent wrap
+    bad = pa.table({"image_id": ["a"],
+                    "grid": pa.array([[[2**40]]],
+                                     pa.list_(pa.list_(pa.int64())))})
+    with pytest.raises(JsonRowError, match="grid"):
+        JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
+    assert JsonCdcParser(strict=False, cdc=False,
+                         schema_list=sch)(bad).num_rows == 0
