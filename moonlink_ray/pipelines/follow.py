@@ -19,7 +19,11 @@ the lakehouse engine applies them):
   re-merge after restart is a no-op with an identical manifest (the
   ``initial_persistence_lsn`` discard rule, SURVEY.md §2.8);
 - stops after ``idle_cycles`` consecutive empty polls (batch/test use)
-  or runs forever with ``idle_cycles=None`` (service use).
+  or runs forever with ``idle_cycles=None`` (service use);
+- streaming transactions (rows carrying ``_xid``) may span files: their
+  ops are staged and become visible atomically at their commit marker's
+  LSN, or never on abort — the StreamFlush/StreamCommit/StreamAbort
+  protocol (see ``pipelines/xact.py``).
 
 At 100 TB the poll is O(directory listing) and each micro-batch costs
 exactly one MERGE (zone-map-pruned, DV-only writes) — the table never
@@ -87,8 +91,19 @@ def poll_once(root: str, cdc_dir: str, *, run_id: str | None = None,
             f"CDC file(s) {late} sort before already-applied "
             f"{max_applied!r}; their ops would be silently discarded by "
             f"the floor-LSN rule. Replay them with fresh LSNs/names.")
-    snap = merge(root, [os.path.join(cdc_dir, n) for n in names],
-                 run_id=run_id, num_buckets=num_buckets)
+    import uuid
+
+    from .xact import prepare_cdc
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    prep = prepare_cdc(root, [os.path.join(cdc_dir, n) for n in names],
+                       run_id=run_id)
+    if prep.paths:
+        snap = merge(root, prep.paths, run_id=run_id,
+                     num_buckets=num_buckets)
+    else:  # every op belongs to a still-open streaming xact
+        snap = load(root)
+    prep.finalize()
     _write_cursor(tfs, applied | set(names))
     return snap, len(names)
 

@@ -652,12 +652,14 @@ def _aborted_xids(cdc_paths: list[str]):
 
 
 def _strip_aborted(batch: pa.Table, aborted) -> pa.Table:
-    """Drop ops of aborted transactions plus the abort marker rows
-    themselves (markers are control rows, never data)."""
+    """Drop ops of aborted transactions plus commit/abort marker rows
+    (markers are control rows, never data — a commit marker in a direct
+    merge batch is a no-op since the batch is applied atomically anyway;
+    marker-driven cross-file visibility is pipelines/xact.py's job)."""
     if aborted is None:
         return batch
-    keep = pc.not_equal(batch["_op"], pa.scalar("abort")) \
-        .to_numpy(zero_copy_only=False)
+    keep = ~np.isin(batch["_op"].to_numpy(zero_copy_only=False),
+                    ("abort", "commit"))
     if "_xid" in batch.column_names and len(aborted):
         xid = batch["_xid"].to_numpy(zero_copy_only=False)
         keep &= ~np.isin(xid, aborted)
