@@ -107,6 +107,11 @@ def main(argv=None):
     s.add_argument("--drop", nargs="*", default=[], metavar="NAME")
     add("status")
     add("metrics")
+    s = sub.add_parser("serve")   # REST surface: many tables, one base
+    s.add_argument("--base", required=True,
+                   help="directory holding one table root per name")
+    s.add_argument("--port", type=int, default=8030)
+    s.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
 
     import ray
@@ -232,6 +237,10 @@ def main(argv=None):
     elif args.cmd == "metrics":
         from .metrics import history
         out = {"history": history(args.root)}
+    elif args.cmd == "serve":
+        from .service import serve
+        serve(args.base, port=args.port, host=args.host)  # blocks
+        out = {"stopped": True}
     print(json.dumps(out))
     if owns_session:
         ray.shutdown()
