@@ -479,11 +479,25 @@ def simhash_dedup_pairs(ds, *, id_col="doc_id", text_col="text",
 # ------------------------------------------------------- embedding cosine
 
 def embedding_dup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
-                        block_col="label", threshold=0.95):
+                        block_col="label", threshold=0.95,
+                        max_block=20_000, n_bits=8, seed=3):
     """Near-dup pairs by cosine similarity, blocked by ``block_col``:
-    per-block numpy matmul inside map_groups (no global O(n^2))."""
+    per-block numpy matmul inside map_groups (no global O(n^2)).
+
+    Hot-label guard: a degenerate label holding more than ``max_block``
+    rows would ship its whole cell to ONE map_groups task and pay
+    O(n^2) there. A cheap per-label count pass (driver state O(labels)
+    — the block column is a coarse key by contract) finds such labels,
+    and their rows are sub-blocked by hyperplane-LSH bucket BEFORE the
+    exchange, so each task sees at most ~n/2^n_bits of the hot cell.
+    Within a hot label, recall follows the LSH collision bound of
+    ``embedding_dup_pairs_lsh`` (~0.78 single-probe at t=0.95,
+    n_bits=8); cold labels keep exact recall. A hot-label cell that
+    STILL exceeds ``max_block`` after sub-blocking (near-identical
+    embeddings — the pair list itself is O(n^2)) is skipped, keeping
+    every task's output bounded."""
     def block(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
+        if len(group) < 2 or len(group) > max_block:
             empty = group[id_col].iloc[:0]
             return pd.DataFrame({"a": empty, "b": empty.copy(),
                                  "cosine": pd.Series([], dtype=np.float64)})
@@ -499,7 +513,34 @@ def embedding_dup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
         return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]],
                              "cosine": S[iu][keep]})
 
-    return ds.groupby(block_col).map_groups(block, batch_format="pandas")
+    counts = {r[block_col]: r["count()"] for r in
+              ds.groupby(block_col).count().take_all()}
+    hot = {lbl for lbl, n in counts.items() if n > max_block}
+    if not hot:
+        return ds.groupby(block_col).map_groups(block,
+                                                batch_format="pandas")
+
+    from .ann import make_hyperplanes
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def sub_block(batch: pd.DataFrame) -> pd.DataFrame:
+        lbl = batch[block_col].astype(str).to_numpy(dtype=np.str_)
+        cell = np.zeros(len(batch), dtype=np.int64)
+        hot_m = batch[block_col].isin(hot).to_numpy()
+        if hot_m.any():
+            M = np.vstack(batch.loc[hot_m, emb_col].to_numpy()) \
+                .astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-12)
+            P = make_hyperplanes(M.shape[1], n_bits=n_bits,
+                                 seed=seed).astype(np.float64)
+            cell[hot_m] = (((M @ P.T) > 0).astype(np.int64)
+                           * weights).sum(axis=1)
+        return batch.assign(
+            _blk=np.char.add(np.char.add(lbl, "#"), cell.astype(str)))
+
+    return ds.map_batches(sub_block, batch_format="pandas") \
+        .groupby("_blk").map_groups(block, batch_format="pandas")
 
 
 def embedding_dup_pairs_lsh(ds, *, id_col="vec_id", emb_col="embedding",

@@ -155,3 +155,44 @@ def test_embedding_lsh_blocking_precision_and_recall():
     # single-probe recall floor: (1 - acos(.95)/pi)^6 ~= 0.52; planted
     # pairs are much closer than 0.95 so observed recall is far higher
     assert len(got_pairs) >= len(truth) * 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_hot_label_is_sub_blocked():
+    """A degenerate hot label no longer ships O(n^2) to one task: rows
+    over max_block are sub-blocked by hyperplane-LSH bucket before the
+    exchange. Planted near-dups inside the hot label are still found
+    (LSH recall floor), every emitted pair is exact-verified >= t, and
+    cold labels keep exact recall."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    n_hot, d = 400, 32
+    M = rng.standard_normal((n_hot, d))
+    for i in range(40):                       # planted dups in hot label
+        M[n_hot - 1 - i] = M[i] + 0.01 * rng.standard_normal(d)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu = np.triu_indices(n_hot, k=1)
+    truth_hot = {(int(a), int(b)) for a, b in zip(iu[0][S[iu] >= 0.95],
+                                                  iu[1][S[iu] >= 0.95])}
+    assert len(truth_hot) >= 40
+
+    items = [{"vec_id": i, "embedding": M[i].tolist(), "label": "hot"}
+             for i in range(n_hot)]
+    # one cold label with a planted pair — must keep EXACT recall
+    cold = rng.standard_normal((4, d))
+    cold[3] = cold[0] + 0.001 * rng.standard_normal(d)
+    items += [{"vec_id": 1000 + i, "embedding": cold[i].tolist(),
+               "label": "cold"} for i in range(4)]
+
+    got = dedup.embedding_dup_pairs(
+        rd.from_items(items), threshold=0.95, max_block=100,
+        n_bits=5).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+    hot_found = {p for p in got_pairs if p[0] < 1000}
+    assert hot_found <= truth_hot             # no false positives
+    # single-probe LSH floor at n_bits=5 is ~0.58; planted pairs are
+    # far tighter than 0.95 so observed recall is much higher
+    assert len(hot_found) >= len(truth_hot) * 0.5
+    assert (1000, 1003) in got_pairs          # cold label: exact recall
