@@ -87,6 +87,11 @@ def main(argv=None):
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--at-lsn", type=int, default=None,
                    help="describe table state as of this replication LSN")
+    s = add("export-iceberg")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--at-lsn", type=int, default=None)
+    s.add_argument("--out", required=True,
+                   help="fresh directory for the Iceberg v2 table")
     s = add("export-delta")
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--at-lsn", type=int, default=None)
@@ -213,6 +218,10 @@ def main(argv=None):
         from .sources.scan import scan_manifest
         out = scan_manifest(args.root, version=args.snapshot,
                             at_lsn=args.at_lsn)
+    elif args.cmd == "export-iceberg":
+        from .iceberg import export_iceberg
+        out = export_iceberg(args.root, args.out, version=args.snapshot,
+                             at_lsn=args.at_lsn)
     elif args.cmd == "export-delta":
         from .export import export_delta
         out = export_delta(args.root, args.out, version=args.snapshot,

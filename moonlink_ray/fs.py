@@ -97,6 +97,21 @@ class TableFS:
         with self.fs.open_input_stream(self.full(rel)) as f:
             return f.read().decode()
 
+    def read_bytes(self, rel: str) -> bytes:
+        with self.fs.open_input_stream(self.full(rel)) as f:
+            return f.read()
+
+    def write_bytes_atomic(self, rel: str, data: bytes) -> None:
+        path = self.full(rel)
+        if self.object_store:  # single PUT is atomic
+            with self.fs.open_output_stream(path) as f:
+                f.write(data)
+            return
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     def write_text_atomic(self, rel: str, data: str) -> None:
         path = self.full(rel)
         if self.object_store:  # single PUT is atomic

@@ -1,0 +1,458 @@
+"""Iceberg v2 snapshot export — the second interoperable format.
+
+Moonlink commits REAL Iceberg metadata on every sync
+(``/root/reference/src/moonlink/src/storage/iceberg/
+iceberg_table_syncer.rs:563-595``: manifests, manifest list, snapshot
+JSON, version hint). This module exports any committed snapshot as an
+Iceberg v2 table alongside the Delta export (``export.py``):
+
+- data files come from the same materialization seam as the Delta
+  export (``export._materialize``: clean fragments HARDLINK in
+  O(metadata), DV'd / span / pre-ALTER fragments rewrite their live
+  rows fragment-parallel);
+- ``metadata/v1.metadata.json`` + ``metadata/version-hint.text``
+  (file-catalog layout, the reference's ``file_catalog.rs`` analog);
+- manifest + manifest list are hand-encoded Avro Object Container
+  Files (the ``avro``/``fastavro`` wheels are not in this environment)
+  written from the PUBLIC specs alone: Avro 1.11 OCF framing (magic,
+  metadata map, sync-marker-delimited blocks, zigzag-varint longs) and
+  the Iceberg v2 table spec's manifest / manifest-list schemas with
+  their reserved field ids (500-517 for manifest_file, 100-104/134 for
+  data_file) so an id-based Iceberg reader projects them correctly.
+
+Scale: one manifest per ``_MANIFEST_SHARD`` data files (the spec's
+many-manifests layout) keeps both the write and any reader's planning
+parallel at 10^12-image file counts; everything rides Ray tasks via
+``_materialize``; the driver holds O(files) names only for the
+manifests it writes (sharded, bounded per write).
+
+Verification: ``tests/test_iceberg.py`` decodes the Avro with an
+INDEPENDENT schema-driven decoder (written against the Avro spec, not
+this encoder), replans the table from the metadata tree alone, and
+DuckDB-reads the planned file list to match the merge oracle.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import time
+import uuid
+
+from .fs import for_root
+
+_MANIFEST_SHARD = 10_000   # data files per manifest avro
+
+
+# ----------------------------------------------------------- Avro binary
+
+def _zigzag(n: int) -> bytes:
+    """Avro long: zigzag then little-endian base-128 varint."""
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_encode(value, schema, buf: io.BytesIO) -> None:
+    """Encode ``value`` per the (parsed-JSON) Avro ``schema``. Supports
+    the subset Iceberg metadata needs: record, [null, T] unions,
+    int/long/string/bytes/boolean, array, map<string>."""
+    if isinstance(schema, list):                       # union
+        if value is None:
+            buf.write(_zigzag(schema.index("null")))
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        buf.write(_zigzag(idx))
+        _avro_encode(value, schema[idx], buf)
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        for f in schema["fields"]:
+            _avro_encode(value.get(f["name"]), f["type"], buf)
+    elif t in ("long", "int"):
+        buf.write(_zigzag(int(value)))
+    elif t == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif t == "string":
+        raw = value.encode("utf-8")
+        buf.write(_zigzag(len(raw)) + raw)
+    elif t == "bytes":
+        buf.write(_zigzag(len(value)) + bytes(value))
+    elif t == "array":
+        if value:
+            buf.write(_zigzag(len(value)))
+            for v in value:
+                _avro_encode(v, schema["items"], buf)
+        buf.write(_zigzag(0))
+    elif t == "map":
+        if value:
+            buf.write(_zigzag(len(value)))
+            for k, v in value.items():
+                raw = k.encode("utf-8")
+                buf.write(_zigzag(len(raw)) + raw)
+                _avro_encode(v, schema["values"], buf)
+        buf.write(_zigzag(0))
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+def write_avro_ocf(schema: dict, records: list[dict],
+                   metadata: dict[str, str]) -> bytes:
+    """One Avro Object Container File (spec 1.11 framing): magic,
+    file-metadata map (avro.schema + caller keys), 16-byte sync marker,
+    then one block of ``records``."""
+    sync = uuid.uuid5(uuid.NAMESPACE_OID,
+                      json.dumps(metadata, sort_keys=True)).bytes
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null",
+            **metadata}
+    buf = io.BytesIO()
+    buf.write(b"Obj\x01")
+    buf.write(_zigzag(len(meta)))
+    for k, v in meta.items():
+        kb, vb = k.encode(), v.encode()
+        buf.write(_zigzag(len(kb)) + kb + _zigzag(len(vb)) + vb)
+    buf.write(_zigzag(0))
+    buf.write(sync)
+    block = io.BytesIO()
+    for r in records:
+        _avro_encode(r, schema, block)
+    data = block.getvalue()
+    buf.write(_zigzag(len(records)) + _zigzag(len(data)) + data + sync)
+    return buf.getvalue()
+
+
+# ------------------------------------------------- Iceberg v2 schemas
+
+def _f(fid: int, name: str, ftype, required=True):
+    d = {"name": name, "type": ftype if required else ["null", ftype],
+         "field-id": fid}
+    if not required:
+        d["default"] = None
+    return d
+
+
+_PARTITION_RECORD = {"type": "record", "name": "r102", "fields": []}
+
+DATA_FILE_SCHEMA = {
+    "type": "record", "name": "r2", "fields": [
+        _f(134, "content", "int"),
+        _f(100, "file_path", "string"),
+        _f(101, "file_format", "string"),
+        _f(102, "partition", _PARTITION_RECORD),
+        _f(103, "record_count", "long"),
+        _f(104, "file_size_in_bytes", "long"),
+    ]}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        _f(0, "status", "int"),
+        _f(1, "snapshot_id", "long", required=False),
+        _f(3, "sequence_number", "long", required=False),
+        _f(4, "file_sequence_number", "long", required=False),
+        _f(2, "data_file", DATA_FILE_SCHEMA),
+    ]}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        _f(500, "manifest_path", "string"),
+        _f(501, "manifest_length", "long"),
+        _f(502, "partition_spec_id", "int"),
+        _f(517, "content", "int"),
+        _f(515, "sequence_number", "long"),
+        _f(516, "min_sequence_number", "long"),
+        _f(503, "added_snapshot_id", "long"),
+        _f(504, "added_files_count", "int"),
+        _f(505, "existing_files_count", "int"),
+        _f(506, "deleted_files_count", "int"),
+        _f(512, "added_rows_count", "long"),
+        _f(513, "existing_rows_count", "long"),
+        _f(514, "deleted_rows_count", "long"),
+    ]}
+
+
+def _iceberg_type(name: str):
+    """Engine type vocabulary (schema.py) -> Iceberg type JSON."""
+    flat = {"string": "string", "binary": "binary", "bool": "boolean",
+            "int8": "int", "int16": "int", "int32": "int",
+            "int64": "long", "float32": "float", "float64": "double",
+            "timestamp[us]": "timestamp", "date32": "date",
+            "time64[us]": "time"}
+    if name in flat:
+        return flat[name]
+    if name.startswith("decimal128(") and name.endswith(")"):
+        body = name[len("decimal128("):-1]
+        parts = [int(p) for p in body.split(",")] + [0]
+        return f"decimal({parts[0]}, {parts[1]})"
+    if name.startswith("list<") and name.endswith(">"):
+        return {"type": "list", "element": _iceberg_type(name[5:-1]),
+                "element-required": False}
+    raise ValueError(f"no Iceberg mapping for engine type {name!r}")
+
+
+def _iceberg_schema(schema_list: list) -> dict:
+    fields = []
+    next_id = len(schema_list) + 1
+    out = {"type": "struct", "schema-id": 0, "fields": fields}
+    for i, (name, tname) in enumerate(schema_list):
+        t = _iceberg_type(tname)
+        if isinstance(t, dict) and t.get("type") == "list":
+            t = {**t, "element-id": next_id}
+            next_id += 1
+        fields.append({"id": i + 1, "name": name, "required": False,
+                       "type": t})
+    out["last-column-id"] = next_id - 1
+    return out
+
+
+# ------------------------------------------------------------- export
+
+def export_iceberg(root: str, dest: str, version: int | None = None, *,
+                   at_lsn: int | None = None) -> dict:
+    """Export one committed snapshot as an Iceberg v2 table at ``dest``
+    (file-catalog layout: ``metadata/v1.metadata.json`` +
+    ``version-hint.text``). Data files are shared with the Delta
+    export's materialization (hardlink clean / rewrite dirty), so a
+    dest already holding a Delta export of the SAME snapshot gains the
+    Iceberg metadata without moving a byte."""
+    from .export import _materialize, _resolve_version
+    from .schema import schema_to_list, table_schema
+
+    snap = _resolve_version(root, version, at_lsn)
+    schema_list = schema_to_list(table_schema(snap))
+    rootfs, destfs = for_root(root), for_root(dest)
+    if destfs.exists("metadata") and any(
+            n.endswith(".metadata.json") for n in destfs.listdir("metadata")):
+        raise ValueError(f"{dest!r} already holds Iceberg metadata; "
+                         "export targets a fresh directory")
+    destfs.makedirs("metadata")
+
+    now_ms = int(time.time() * 1000)
+    adds, n_hard = _materialize(root, dest, snap.fragments, schema_list,
+                                now_ms)
+    adds.sort(key=lambda a: a["path"])
+    snapshot_id = int(uuid.uuid5(
+        uuid.NAMESPACE_URL,
+        f"moonlink_ray:iceberg:{rootfs.full()}:v{snap.version}"
+    ).int % (1 << 62))
+    seq = 1
+
+    # ---- manifests (sharded)
+    manifest_files = []
+    total_rows = 0
+    for shard0 in range(0, len(adds), _MANIFEST_SHARD):
+        shard = adds[shard0:shard0 + _MANIFEST_SHARD]
+        entries = []
+        rows = 0
+        for a in shard:
+            import urllib.parse
+            rel = urllib.parse.unquote(a["path"])
+            n = json.loads(a["stats"])["numRecords"]
+            rows += n
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": None, "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": destfs.full(rel),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": a["size"]}})
+        total_rows += rows
+        name = f"metadata/manifest-{snapshot_id}-{shard0 // _MANIFEST_SHARD}.avro"
+        blob = write_avro_ocf(
+            MANIFEST_ENTRY_SCHEMA, entries,
+            {"schema": json.dumps(_iceberg_schema(schema_list)),
+             "schema-id": "0", "partition-spec": "[]",
+             "partition-spec-id": "0", "format-version": "2",
+             "content": "data"})
+        destfs.write_bytes_atomic(name, blob)
+        manifest_files.append({
+            "manifest_path": destfs.full(name),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0})
+
+    # ---- manifest list
+    mlist_name = f"metadata/snap-{snapshot_id}-1.avro"
+    mlist = write_avro_ocf(
+        MANIFEST_FILE_SCHEMA, manifest_files,
+        {"snapshot-id": str(snapshot_id), "format-version": "2",
+         "sequence-number": str(seq),
+         "parent-snapshot-id": "null"})
+    destfs.write_bytes_atomic(mlist_name, mlist)
+
+    # ---- table metadata + version hint
+    schema_json = _iceberg_schema(schema_list)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(
+            uuid.NAMESPACE_URL, f"moonlink_ray:{rootfs.full()}")),
+        "location": destfs.full(),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": schema_json.pop("last-column-id"),
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet",
+                       "moonlink-ray.source-root": rootfs.full(),
+                       "moonlink-ray.source-version": str(snap.version),
+                       "moonlink-ray.source-max-lsn": str(snap.max_lsn)},
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id,
+                          "type": "branch"}},
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {"operation": "append",
+                        "added-data-files": str(len(adds)),
+                        "added-records": str(total_rows)},
+            "manifest-list": destfs.full(mlist_name),
+            "schema-id": 0}],
+        "snapshot-log": [{"timestamp-ms": now_ms,
+                          "snapshot-id": snapshot_id}],
+        "metadata-log": [],
+    }
+    destfs.write_text_atomic("metadata/v1.metadata.json",
+                             json.dumps(meta, indent=1))
+    destfs.write_text_atomic("metadata/version-hint.text", "1")
+    return {"dest": destfs.full(), "iceberg_version": 1,
+            "source_version": snap.version,
+            "snapshot_id": snapshot_id,
+            "files": len(adds), "hardlinked": n_hard,
+            "rewritten": len(adds) - n_hard,
+            "manifests": len(manifest_files), "rows": total_rows}
+
+
+def iceberg_active_files(dest: str) -> list[str]:
+    """Plan the current snapshot's data files from the metadata tree
+    alone (hint -> metadata.json -> manifest list -> manifests) using
+    this module's own decoder — the engine-side consumer. The pytest
+    verification uses an independent decoder instead."""
+    destfs = for_root(dest)
+    v = destfs.read_text("metadata/version-hint.text").strip()
+    meta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
+    cur = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    base = destfs.full()
+
+    def rel_of(p: str) -> str:
+        return os.path.relpath(p, base)
+
+    files: list[str] = []
+    for m in read_avro_ocf(destfs.read_bytes(rel_of(snap["manifest-list"]))):
+        for e in read_avro_ocf(destfs.read_bytes(
+                rel_of(m["manifest_path"]))):
+            if e["status"] != 2:        # 2 = DELETED
+                files.append(e["data_file"]["file_path"])
+    return sorted(files)
+
+
+# ----------------------------------------------------- decoder (reader)
+
+def _avro_decode(schema, buf: io.BytesIO):
+    if isinstance(schema, list):
+        idx = _read_long(buf)
+        s = schema[idx]
+        return None if s == "null" else _avro_decode(s, buf)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        return {f["name"]: _avro_decode(f["type"], buf)
+                for f in schema["fields"]}
+    if t in ("long", "int"):
+        return _read_long(buf)
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    if t == "bytes":
+        return buf.read(_read_long(buf))
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            out.extend(_avro_decode(schema["items"], buf)
+                       for _ in range(n))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(_read_long(buf)).decode()
+                out[k] = _avro_decode(schema["values"], buf)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = acc = 0
+    while True:
+        b = buf.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def read_avro_ocf(blob: bytes) -> list[dict]:
+    """Decode one OCF produced by :func:`write_avro_ocf` (or any
+    null-codec OCF within the supported type subset)."""
+    buf = io.BytesIO(blob)
+    if buf.read(4) != b"Obj\x01":
+        raise ValueError("not an Avro object container file")
+    meta = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = buf.read(_read_long(buf)).decode()
+            meta[k] = buf.read(_read_long(buf))
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError("only null codec supported")
+    schema = json.loads(meta["avro.schema"])
+    sync = buf.read(16)
+    out = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            return out
+        buf.seek(-1, 1)
+        n = _read_long(buf)
+        _read_long(buf)  # block byte size
+        for _ in range(n):
+            out.append(_avro_decode(schema, buf))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")

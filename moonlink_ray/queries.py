@@ -278,6 +278,24 @@ def maint_export_delta(sf_dir: str):
         _digest_bytes, batch_format="pyarrow", batch_size=None)
 
 
+def maint_export_iceberg(sf_dir: str):
+    """Second interop export: MERGE the CDC batch, export the snapshot
+    as an Iceberg v2 table (hand-written Avro manifests + metadata
+    JSON), replan the file list from the metadata tree alone and read
+    it back — same _MERGED_SQL oracle as maint_merge."""
+    import ray.data as rd
+
+    from .iceberg import export_iceberg, iceberg_active_files
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "expiceberg")
+    merge(root, fix["cdc"])
+    dest = os.path.join(DATA_ROOT, _sf_name(sf_dir), "iceberg-export")
+    shutil.rmtree(dest, ignore_errors=True)
+    export_iceberg(root, dest)
+    return rd.read_parquet(iceberg_active_files(dest)).map_batches(
+        _digest_bytes, batch_format="pyarrow", batch_size=None)
+
+
 def maint_cluster_hilbert(sf_dir: str):
     """Hilbert-curve variant of the cluster rewrite (north rule names
     both curves); content-equality oracle is identical — only the
@@ -983,6 +1001,7 @@ def queries():
         "maint_optimize_incremental": maint_optimize_incremental,
         "maint_follow": maint_follow,
         "maint_export_delta": maint_export_delta,
+        "maint_export_iceberg": maint_export_iceberg,
         "maint_cluster_hilbert": maint_cluster_hilbert,
         "maint_expire": maint_expire,
         "maint_load_files": maint_load_files,
@@ -1103,6 +1122,7 @@ def oracle_sql():
         "maint_optimize_incremental": _MERGED_SQL,
         "maint_follow": _MERGED_SQL,
         "maint_export_delta": _MERGED_SQL,
+        "maint_export_iceberg": _MERGED_SQL,
         "maint_expire": _MERGED_SQL,
         "maint_load_files": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE})",
