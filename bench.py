@@ -185,7 +185,8 @@ def run_query_benches() -> dict:
     out = {}
     for name in ("rel_groupby_agg", "rel_broadcast_join", "dedup_exact",
                  "dedup_minhash", "text_stats", "ann_topk",
-                 "img_decode_stats", "maint_export_delta"):
+                 "img_decode_stats", "maint_export_delta",
+                 "maint_export_iceberg"):
         fn = q.queries()[name]
         t = time.perf_counter()
         res = fn(SF_DIR)
