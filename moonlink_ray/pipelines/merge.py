@@ -101,6 +101,9 @@ _FRAGMENT_BYTES = 64 * 1024 * 1024
 # cap on tombstone range shards; at this cap a DV task over a fragment
 # spanning 1/Nth of the key domain reads ~max(1, shards/N) shard files
 _MAX_TOMB_SHARDS = 256
+# FullRow fall-through DV writes fan out as a Ray pass at/above this
+# many touched fragments; below it a driver loop is cheaper than tasks
+_RAY_DV_THRESHOLD = 64
 
 
 def _fold_bucket(group: pa.Table,
@@ -401,6 +404,33 @@ class _BucketMergeFullrow:
                                              pa.int64())})
 
 
+class _FullrowDVWrite:
+    """map_batches task: one (fragment meta, kill positions) row ->
+    union with the fragment's existing DV, write the new cumulative DV
+    sidecar, return the updated meta (JSON). Used when FullRow
+    fall-through deletes touch many fragments — per-fragment filesystem
+    IO then rides tasks instead of a driver loop."""
+
+    def __init__(self, root: str, run_id: str):
+        self.root, self.run_id = root, run_id
+        self.__name__ = "FullrowDVWrite"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fragments import read_dv
+        out = []
+        for row in batch.to_pylist():
+            meta = FragmentMeta.from_dict(json.loads(row["meta"]))
+            new_dead = np.asarray(row["dead"], dtype=np.int64)
+            if meta.dv:
+                new_dead = np.union1d(new_dead,
+                                      read_dv(self.root, meta.dv))
+            dv_ref = write_dv(self.root,
+                              f"dv-{self.run_id}-{meta.fragment_id}",
+                              new_dead)
+            out.append(json.dumps({**asdict(meta), "dv": dv_ref}))
+        return pa.table({"meta": pa.array(out, pa.string())})
+
+
 class _FullrowCandidates:
     """map_batches over fragment metas: read only the stored _rowhash
     column (live rows), match the fall-through delete hashes, emit
@@ -586,18 +616,37 @@ def _merge_fullrow(root: str, cdc_paths: list[str], *, run_id: str,
             quota = np.array([misses[int(h)] for h in h_o[grp]],
                              dtype=np.int64)
             keep = rank < np.repeat(quota, lens)
-            for fi, p in zip(f_o[keep], p_o[keep]):
-                kills.setdefault(str(frag_ids[fi]), []).append(int(p))
+            # group kept kills per fragment without a per-row loop
+            fk, pk = f_o[keep], p_o[keep]
+            ord2 = np.argsort(fk, kind="stable")
+            fk, pk = fk[ord2], pk[ord2]
+            starts = np.flatnonzero(np.r_[True, fk[1:] != fk[:-1]])
+            for s, e in zip(starts, np.r_[starts[1:], len(fk)]):
+                kills[str(frag_ids[fk[s]])] = pk[s:e].tolist()
         by_id = snap.frag_by_id()
-        for frag_id, dead in kills.items():
-            meta = by_id[frag_id]
-            new_dead = np.asarray(dead, dtype=np.int64)
-            if meta.dv:
-                from ..fragments import read_dv
-                new_dead = np.union1d(new_dead, read_dv(root, meta.dv))
-            dv_ref = write_dv(root, f"dv-{run_id}-{frag_id}", new_dead)
-            dv_metas[frag_id] = FragmentMeta(**{**asdict(meta),
-                                                "dv": dv_ref})
+        if len(kills) >= _RAY_DV_THRESHOLD:
+            # many touched fragments: DV writes fan out as a Ray pass
+            # (each task unions the old DV and writes the sidecar) —
+            # the driver never serializes per-fragment filesystem IO
+            items = [{"meta": json.dumps(asdict(by_id[fid])),
+                      "dead": dead} for fid, dead in kills.items()]
+            written = rd.from_items(items,
+                                    override_num_blocks=len(items)) \
+                .map_batches(_FullrowDVWrite(root, run_id), batch_size=1,
+                             batch_format="pyarrow").take_all()
+            for r in written:
+                m = FragmentMeta.from_dict(json.loads(r["meta"]))
+                dv_metas[m.fragment_id] = m
+        else:
+            for frag_id, dead in kills.items():
+                meta = by_id[frag_id]
+                new_dead = np.asarray(dead, dtype=np.int64)
+                if meta.dv:
+                    from ..fragments import read_dv
+                    new_dead = np.union1d(new_dead, read_dv(root, meta.dv))
+                dv_ref = write_dv(root, f"dv-{run_id}-{frag_id}", new_dead)
+                dv_metas[frag_id] = FragmentMeta(**{**asdict(meta),
+                                                    "dv": dv_ref})
 
     final: list[FragmentMeta] = []
     for f in snap.fragments:

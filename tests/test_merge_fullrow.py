@@ -110,3 +110,27 @@ def test_fullrow_replay_is_idempotent(tmp_path):
     assert snap2.version == snap1.version
     after = Counter(_row_key(r) for r in scan_arrow(root).to_pylist())
     assert before == after
+
+@pytest.mark.usefixtures("ray_session")
+def test_fullrow_dv_writes_fan_out_identically(tmp_path, monkeypatch):
+    """With the Ray fan-out threshold forced to 1, FullRow fall-through
+    DV sidecars are written by tasks instead of the driver loop — the
+    committed table must be identical (same multiset, cumulative DVs
+    unioned with pre-existing ones)."""
+    from moonlink_ray.pipelines import merge as merge_mod
+    monkeypatch.setattr(merge_mod, "_RAY_DV_THRESHOLD", 1)
+
+    root, base = _fullrow_table(tmp_path, n=20, dup_of=(0, 1, 1))
+    want = Counter(_row_key(r) for r in base.to_pylist())
+    # first merge puts a DV on img-0's fragment; second unions into it
+    row0 = synth.build_rows([0]).to_pylist()[0]
+    row1 = synth.build_rows([1]).to_pylist()[0]
+    merge(root, _cdc(tmp_path, [("delete", row0, 101)]))
+    merge(root, _cdc(tmp_path, [("delete", row0, 201),
+                                ("delete", row1, 202)]))
+    want[_row_key(row0)] -= 2
+    want[_row_key(row1)] -= 1
+    want = Counter({k: v for k, v in want.items() if v > 0})
+    got = Counter(_row_key(r) for r in scan_arrow(root).to_pylist())
+    assert got == want
+    assert load(root).job["metrics"]["dv_fragments"] >= 1
