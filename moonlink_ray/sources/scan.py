@@ -70,6 +70,54 @@ def _reader(root: str, columns: list[str] | None, with_pos: bool,
     return read
 
 
+from ray.data.datasource import Datasource
+
+
+class _FragmentSource(Datasource):
+    """Ray Data Datasource over a fragment list: one ReadTask per
+    ``meta_batch_size`` fragments, each declaring the group's live-row
+    count and byte size so the streaming executor's bundling and memory
+    accounting operate on the truth (the moonlink union-read analog as
+    a first-class source instead of a map over meta rows)."""
+
+    def __init__(self, root, fragments, columns, with_pos, with_frag,
+                 predicate, schema_list, meta_batch_size: int = 1):
+        self._root = root
+        self._groups = [fragments[i:i + meta_batch_size]
+                        for i in range(0, len(fragments), meta_batch_size)]
+        self._reader_args = (root, columns, with_pos, with_frag,
+                             predicate, schema_list)
+
+    def num_read_tasks(self) -> int:
+        return len(self._groups)
+
+    def get_name(self) -> str:
+        return "moonlink_scan"
+
+    def estimate_inmemory_data_size(self):
+        return sum(f.size_bytes for g in self._groups for f in g)
+
+    def get_read_tasks(self, parallelism: int):
+        from ray.data.block import BlockMetadata
+        from ray.data.datasource import ReadTask
+
+        reader_args = self._reader_args
+        tasks = []
+        for grp in self._groups:
+            metas = [json.dumps(asdict(f)) for f in grp]
+
+            def fn(mj=metas):
+                read = _reader(*reader_args)
+                return [read(pa.table({"meta": pa.array(mj, pa.string())}))]
+
+            tasks.append(ReadTask(fn, BlockMetadata(
+                num_rows=sum(f.live_rows for f in grp),
+                size_bytes=sum(f.size_bytes for f in grp),
+                exec_stats=None,
+                input_files=[f.path for f in grp])))
+        return tasks
+
+
 def prune_fragments(fragments: list[FragmentMeta],
                     predicate: dict) -> list[FragmentMeta]:
     """Zone-map pruning: keep only fragments whose per-column [min, max]
@@ -112,12 +160,21 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
     serve), and surviving fragments get an exact vectorized residual
     filter after the DV mask.
 
-    FUSION CAVEAT: the returned Dataset is built from one META row per
-    fragment; Ray fuses a downstream ``map_batches(fn, batch_size=k)``
-    with the reader, so ``k`` then counts META rows (fragments), not
-    image rows — a small k silently bundles many fragments into one
-    task and serializes the stage. Downstream stages over a scan MUST
-    use ``batch_size=None`` (one fragment block per task)."""
+    The scan is a real Ray Data ``Datasource`` (one ReadTask per
+    fragment group, declaring the group's TRUE row count and byte size
+    in its BlockMetadata). This kills the r3 fusion footgun: a
+    downstream ``map_batches(fn, batch_size=k)`` used to count 1-row
+    META blocks when bundling work, silently packing k fragments into
+    one task; with honest per-block row counts the bundler sees image
+    rows, so any downstream batch_size parallelizes correctly, and the
+    streaming executor's memory accounting sees real fragment sizes.
+
+    ``meta_batch_size`` > 1 bundles several fragments into one read
+    task: for LIGHT scans (a few metadata columns) per-task dispatch
+    dominates the read, and at high cluster width the scheduler becomes
+    the bottleneck (measured: the 3-column stats pass was 3x SLOWER at
+    32 CPUs than 8 with one task per fragment). Full-row scans keep 1
+    so a task's memory stays one fragment."""
     import ray.data as rd
 
     if at_lsn is not None:
@@ -130,19 +187,13 @@ def scan(root: str, version: int | None = None, columns: list[str] | None = None
         fragments, schema_list = snap.fragments, snap.schema
     if predicate:
         fragments = prune_fragments(fragments, predicate)
-    metas = [{"meta": json.dumps(asdict(f))} for f in fragments]
-    if not metas:
+    fragments = [f for f in fragments if f.rows > 0]
+    if not fragments:
         return rd.from_items([])
-    ds = rd.from_items(metas, override_num_blocks=len(metas))
-    # meta_batch_size > 1 bundles several fragments into one read task:
-    # for LIGHT scans (a few metadata columns) per-task dispatch
-    # dominates the read, and at high cluster width the scheduler
-    # becomes the bottleneck (measured: the 3-column stats scan was 3x
-    # SLOWER at 32 CPUs than 8 with one task per fragment). Full-row
-    # scans keep 1 so a task's memory stays one fragment.
-    return ds.map_batches(_reader(root, columns, with_pos, with_frag,
-                                  predicate, schema_list),
-                          batch_size=meta_batch_size, batch_format="pyarrow")
+    src = _FragmentSource(root, fragments, columns, with_pos, with_frag,
+                          predicate, schema_list, meta_batch_size)
+    return rd.read_datasource(src,
+                              override_num_blocks=src.num_read_tasks())
 
 
 def scan_manifest(root: str, version: int | None = None, *,
