@@ -92,6 +92,10 @@ def main(argv=None):
     s.add_argument("--at-lsn", type=int, default=None)
     s.add_argument("--out", required=True,
                    help="fresh directory for the Iceberg v2 table")
+    s = add("sync-iceberg")
+    s.add_argument("--snapshot", type=int, default=None)
+    s.add_argument("--out", required=True,
+                   help="existing Iceberg export to bring up to date")
     s = add("export-delta")
     s.add_argument("--snapshot", type=int, default=None)
     s.add_argument("--at-lsn", type=int, default=None)
@@ -222,6 +226,9 @@ def main(argv=None):
         from .iceberg import export_iceberg
         out = export_iceberg(args.root, args.out, version=args.snapshot,
                              at_lsn=args.at_lsn)
+    elif args.cmd == "sync-iceberg":
+        from .iceberg import sync_iceberg
+        out = sync_iceberg(args.root, args.out, version=args.snapshot)
     elif args.cmd == "export-delta":
         from .export import export_delta
         out = export_delta(args.root, args.out, version=args.snapshot,

@@ -214,6 +214,74 @@ def _iceberg_schema(schema_list: list) -> dict:
 
 # ------------------------------------------------------------- export
 
+def _snapshot_id(root_full: str, version: int) -> int:
+    return int(uuid.uuid5(
+        uuid.NAMESPACE_URL,
+        f"moonlink_ray:iceberg:{root_full}:v{version}").int % (1 << 62))
+
+
+def _adds_to_info(adds: list[dict]) -> list[dict]:
+    """_materialize add actions -> {rel, rows, size} rows."""
+    import urllib.parse
+    return [{"rel": urllib.parse.unquote(a["path"]),
+             "rows": json.loads(a["stats"])["numRecords"],
+             "size": a["size"]} for a in adds]
+
+
+def _write_snapshot_tree(destfs, schema_list: list, files_info: list[dict],
+                         snapshot_id: int, seq: int,
+                         parent_id: int | None = None):
+    """Write the sharded manifests + manifest list for one snapshot's
+    FULL file set; returns (manifest-list rel name, manifest count,
+    total rows). Every entry is written status=ADDED under this
+    snapshot — a valid minimal-writer layout (planning reads status !=
+    DELETED; lineage-precise existing/added split is an optimization
+    for incremental readers, not a correctness requirement)."""
+    files_info = sorted(files_info, key=lambda x: x["rel"])
+    manifest_files = []
+    total_rows = 0
+    for shard0 in range(0, len(files_info), _MANIFEST_SHARD):
+        shard = files_info[shard0:shard0 + _MANIFEST_SHARD]
+        rows = sum(x["rows"] for x in shard)
+        total_rows += rows
+        entries = [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": destfs.full(x["rel"]),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": x["rows"],
+                "file_size_in_bytes": x["size"]}} for x in shard]
+        name = (f"metadata/manifest-{snapshot_id}-"
+                f"{shard0 // _MANIFEST_SHARD}.avro")
+        blob = write_avro_ocf(
+            MANIFEST_ENTRY_SCHEMA, entries,
+            {"schema": json.dumps(_iceberg_schema(schema_list)),
+             "schema-id": "0", "partition-spec": "[]",
+             "partition-spec-id": "0", "format-version": "2",
+             "content": "data"})
+        destfs.write_bytes_atomic(name, blob)
+        manifest_files.append({
+            "manifest_path": destfs.full(name),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 0,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0, "deleted_rows_count": 0})
+    mlist_name = f"metadata/snap-{snapshot_id}-{seq}.avro"
+    destfs.write_bytes_atomic(mlist_name, write_avro_ocf(
+        MANIFEST_FILE_SCHEMA, manifest_files,
+        {"snapshot-id": str(snapshot_id), "format-version": "2",
+         "sequence-number": str(seq),
+         "parent-snapshot-id": str(parent_id) if parent_id else "null"}))
+    return mlist_name, len(manifest_files), total_rows
+
+
 def export_iceberg(root: str, dest: str, version: int | None = None, *,
                    at_lsn: int | None = None) -> dict:
     """Export one committed snapshot as an Iceberg v2 table at ``dest``
@@ -237,63 +305,11 @@ def export_iceberg(root: str, dest: str, version: int | None = None, *,
     now_ms = int(time.time() * 1000)
     adds, n_hard = _materialize(root, dest, snap.fragments, schema_list,
                                 now_ms)
-    adds.sort(key=lambda a: a["path"])
-    snapshot_id = int(uuid.uuid5(
-        uuid.NAMESPACE_URL,
-        f"moonlink_ray:iceberg:{rootfs.full()}:v{snap.version}"
-    ).int % (1 << 62))
+    snapshot_id = _snapshot_id(rootfs.full(), snap.version)
     seq = 1
-
-    # ---- manifests (sharded)
-    manifest_files = []
-    total_rows = 0
-    for shard0 in range(0, len(adds), _MANIFEST_SHARD):
-        shard = adds[shard0:shard0 + _MANIFEST_SHARD]
-        entries = []
-        rows = 0
-        for a in shard:
-            import urllib.parse
-            rel = urllib.parse.unquote(a["path"])
-            n = json.loads(a["stats"])["numRecords"]
-            rows += n
-            entries.append({
-                "status": 1, "snapshot_id": snapshot_id,
-                "sequence_number": None, "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": destfs.full(rel),
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n,
-                    "file_size_in_bytes": a["size"]}})
-        total_rows += rows
-        name = f"metadata/manifest-{snapshot_id}-{shard0 // _MANIFEST_SHARD}.avro"
-        blob = write_avro_ocf(
-            MANIFEST_ENTRY_SCHEMA, entries,
-            {"schema": json.dumps(_iceberg_schema(schema_list)),
-             "schema-id": "0", "partition-spec": "[]",
-             "partition-spec-id": "0", "format-version": "2",
-             "content": "data"})
-        destfs.write_bytes_atomic(name, blob)
-        manifest_files.append({
-            "manifest_path": destfs.full(name),
-            "manifest_length": len(blob),
-            "partition_spec_id": 0, "content": 0,
-            "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0, "deleted_files_count": 0,
-            "added_rows_count": rows,
-            "existing_rows_count": 0, "deleted_rows_count": 0})
-
-    # ---- manifest list
-    mlist_name = f"metadata/snap-{snapshot_id}-1.avro"
-    mlist = write_avro_ocf(
-        MANIFEST_FILE_SCHEMA, manifest_files,
-        {"snapshot-id": str(snapshot_id), "format-version": "2",
-         "sequence-number": str(seq),
-         "parent-snapshot-id": "null"})
-    destfs.write_bytes_atomic(mlist_name, mlist)
+    files_info = _adds_to_info(adds)
+    mlist_name, n_manifests, total_rows = _write_snapshot_tree(
+        destfs, schema_list, files_info, snapshot_id, seq)
 
     # ---- table metadata + version hint
     schema_json = _iceberg_schema(schema_list)
@@ -340,7 +356,122 @@ def export_iceberg(root: str, dest: str, version: int | None = None, *,
             "snapshot_id": snapshot_id,
             "files": len(adds), "hardlinked": n_hard,
             "rewritten": len(adds) - n_hard,
-            "manifests": len(manifest_files), "rows": total_rows}
+            "manifests": n_manifests, "rows": total_rows}
+
+
+def sync_iceberg(root: str, dest: str, version: int | None = None) -> dict:
+    """Bring an existing Iceberg export up to date with a newer table
+    snapshot — the per-commit sync moonlink performs
+    (``iceberg_table_syncer.rs:505-595``): materialize new/changed data
+    files, drop removed ones from the new snapshot's manifests, append
+    one snapshot to the metadata tree.
+
+    Incremental by construction, same argument as ``sync_delta``: a
+    fragment's exported file name is a pure function of its live-row
+    content (``export._export_rel``), so unchanged fragments carry over
+    by name with ZERO data IO (their record counts ride the previous
+    manifests); only metadata (manifests + metadata.json) is rewritten,
+    O(files) not O(bytes). The new metadata file is published with a
+    conditional put, so racing syncs cannot both claim v{N+1}; old
+    snapshots stay time-travelable (their files are never deleted
+    here)."""
+    import urllib.parse
+
+    from .export import (_export_rel, _is_clean, _materialize,
+                         _resolve_version)
+    from .schema import schema_to_list, table_schema
+
+    snap = _resolve_version(root, version, None)
+    schema_list = schema_to_list(table_schema(snap))
+    rootfs, destfs = for_root(root), for_root(dest)
+    if not destfs.exists("metadata/version-hint.text"):
+        raise FileNotFoundError(f"no Iceberg metadata at {dest!r}; "
+                                "export_iceberg creates the initial table")
+    v = int(destfs.read_text("metadata/version-hint.text").strip())
+    meta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
+    base = destfs.full()
+
+    # live file info from the current snapshot's manifests
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    live: dict[str, dict] = {}
+    for m in read_avro_ocf(destfs.read_bytes(
+            os.path.relpath(cur["manifest-list"], base))):
+        for e in read_avro_ocf(destfs.read_bytes(
+                os.path.relpath(m["manifest_path"], base))):
+            if e["status"] != 2:
+                df = e["data_file"]
+                rel = os.path.relpath(df["file_path"], base)
+                live[rel] = {"rel": rel, "rows": df["record_count"],
+                             "size": df["file_size_in_bytes"]}
+
+    expected_rels = set()
+    for f in snap.fragments:
+        if f.live_rows == 0:
+            continue
+        expected_rels.add(_export_rel(f, schema_list,
+                                      _is_clean(rootfs, f, schema_list)))
+    removed = sorted(set(live) - expected_rels)
+    now_ms = int(time.time() * 1000)
+    adds, n_hard = _materialize(root, dest, list(snap.fragments),
+                                schema_list, now_ms,
+                                skip_rels=frozenset(live))
+    schema_json = _iceberg_schema(schema_list)
+    schema_json_lc = schema_json.pop("last-column-id")
+    cur_schema = meta["schemas"][meta["current-schema-id"]]
+    schema_changed = schema_json["fields"] != cur_schema["fields"]
+    if not adds and not removed and not schema_changed:
+        return {"dest": base, "iceberg_version": v, "noop": True,
+                "source_version": snap.version, "files": len(live),
+                "added": 0, "removed": 0}
+
+    files_info = [x for rel, x in live.items() if rel in expected_rels] \
+        + _adds_to_info(adds)
+    snapshot_id = _snapshot_id(rootfs.full(), snap.version)
+    seq = meta["last-sequence-number"] + 1
+    mlist_name, n_manifests, total_rows = _write_snapshot_tree(
+        destfs, schema_list, files_info, snapshot_id, seq,
+        parent_id=meta["current-snapshot-id"])
+
+    if schema_changed:
+        sid = len(meta["schemas"])
+        meta["schemas"].append({**schema_json, "schema-id": sid})
+        meta["current-schema-id"] = sid
+        meta["last-column-id"] = max(meta["last-column-id"],
+                                     schema_json_lc)
+    meta["snapshots"].append({
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": cur["snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {"operation": "overwrite",
+                    "added-data-files": str(len(adds)),
+                    "removed-data-files": str(len(removed)),
+                    "added-records": str(sum(x["rows"] for x in
+                                             _adds_to_info(adds)))},
+        "manifest-list": destfs.full(mlist_name),
+        "schema-id": meta["current-schema-id"]})
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"]["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"].append({"timestamp-ms": now_ms,
+                                 "snapshot-id": snapshot_id})
+    meta["metadata-log"].append({
+        "timestamp-ms": now_ms,
+        "metadata-file": destfs.full(f"metadata/v{v}.metadata.json")})
+    meta["properties"]["moonlink-ray.source-version"] = str(snap.version)
+    meta["properties"]["moonlink-ray.source-max-lsn"] = str(snap.max_lsn)
+    if not destfs.create_exclusive(f"metadata/v{v + 1}.metadata.json",
+                                   json.dumps(meta, indent=1)):
+        raise RuntimeError(f"concurrent sync already published Iceberg "
+                           f"metadata v{v + 1}")
+    destfs.write_text_atomic("metadata/version-hint.text", str(v + 1))
+    return {"dest": base, "iceberg_version": v + 1, "noop": False,
+            "source_version": snap.version, "snapshot_id": snapshot_id,
+            "files": len(files_info), "added": len(adds),
+            "removed": len(removed), "hardlinked": n_hard,
+            "manifests": n_manifests, "rows": total_rows}
 
 
 def iceberg_active_files(dest: str) -> list[str]:

@@ -207,3 +207,51 @@ def test_iceberg_export_refuses_overwrite(tmp_path):
     root, dest, _ = _export_fixture(tmp_path)
     with pytest.raises(ValueError, match="already holds"):
         export_iceberg(root, dest)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sync_iceberg_incremental(tmp_path):
+    """A second MERGE syncs into the existing Iceberg export: unchanged
+    data files carry over by name (zero data IO), removed ones leave
+    the new snapshot's manifests, the new metadata version plans to the
+    new table state, and a repeat sync is a no-op."""
+    root, dest, rep0 = _export_fixture(tmp_path)
+    from moonlink_ray.iceberg import sync_iceberg
+
+    # second CDC wave against the same table
+    cdc2 = str(tmp_path / "cdc2.parquet")
+    write_cdc_parquet(cdc2, n_base=200, n_ops=40, start_lsn=5000, seed=9)
+    merge(root, cdc2)
+    rep = sync_iceberg(root, dest)
+    assert rep["iceberg_version"] == 2 and not rep["noop"]
+    assert rep["added"] >= 1
+
+    # planned files match the engine scan exactly (DuckDB only)
+    files = iceberg_active_files(dest)
+    want = scan_arrow(root, columns=["image_id", "caption"])
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT image_id, caption FROM read_parquet(?) "
+        "ORDER BY image_id", [files]).fetch_arrow_table()
+    import pyarrow.compute as pc
+    want = want.take(pc.sort_indices(want["image_id"]))
+    assert got.equals(want.select(["image_id", "caption"])
+                      .cast(got.schema))
+
+    # the previous snapshot stays time-travelable: its manifest list
+    # still resolves and its files still exist
+    meta = json.load(open(os.path.join(
+        dest, "metadata/v2.metadata.json")))
+    assert len(meta["snapshots"]) == 2
+    old = meta["snapshots"][0]
+    _, old_manifests = independent_read_ocf(
+        open(old["manifest-list"], "rb").read())
+    for m in old_manifests:
+        _, entries = independent_read_ocf(open(m["manifest_path"],
+                                               "rb").read())
+        for e in entries:
+            assert os.path.exists(e["data_file"]["file_path"])
+
+    # idempotence: nothing changed -> noop, no new metadata version
+    rep2 = sync_iceberg(root, dest)
+    assert rep2["noop"] and rep2["iceberg_version"] == 2
