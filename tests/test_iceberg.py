@@ -226,15 +226,22 @@ def test_sync_iceberg_incremental(tmp_path):
     assert rep["iceberg_version"] == 2 and not rep["noop"]
     assert rep["added"] >= 1
 
-    # planned files match the engine scan exactly (DuckDB only)
+    # planned files match the engine scan exactly (DuckDB only). The
+    # second CDC wave re-appends ids the first wave created (append
+    # does not enforce key uniqueness — producer's job), so image_id
+    # alone is not a total order; sort by (image_id, caption) on both
+    # sides or the duplicate ids' tie order flakes between DuckDB's
+    # and Arrow's sort.
     files = iceberg_active_files(dest)
     want = scan_arrow(root, columns=["image_id", "caption"])
     con = duckdb.connect()
     got = con.execute(
         "SELECT image_id, caption FROM read_parquet(?) "
-        "ORDER BY image_id", [files]).fetch_arrow_table()
+        "ORDER BY image_id, caption", [files]).fetch_arrow_table()
     import pyarrow.compute as pc
-    want = want.take(pc.sort_indices(want["image_id"]))
+    want = want.take(pc.sort_indices(
+        want, sort_keys=[("image_id", "ascending"),
+                         ("caption", "ascending")]))
     assert got.equals(want.select(["image_id", "caption"])
                       .cast(got.schema))
 
