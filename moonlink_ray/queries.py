@@ -637,7 +637,8 @@ def rel_filter_project(sf_dir: str):
 def rel_broadcast_join(sf_dir: str):
     import ray
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+                         columns=["c_custkey", "c_mktsegment"]) \
+        .combine_chunks()
     ref = ray.put(cust)
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -647,8 +648,8 @@ def rel_broadcast_join(sf_dir: str):
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     joined = broadcast_join(ds, ref, left_on="o_custkey", right_on="c_custkey")
-    joined = joined.map_batches(lambda d: d[["c_mktsegment", "price_c"]],
-                                batch_format="pandas")
+    joined = joined.map_batches(lambda t: t.select(["c_mktsegment", "price_c"]),
+                                batch_format="pyarrow")
     return partial_groupby_sum(joined, ["c_mktsegment"], ["price_c"],
                                count_col="n")
 
@@ -710,13 +711,17 @@ def rel_asof_join(sf_dir: str):
         right_schema=pa.schema([("o_custkey", pa.int64()),
                                 ("rt", pa.timestamp("us"))]))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        days = (df["rt"] - pd.Timestamp("1970-01-01")).dt.days
-        return pd.DataFrame({"event_id": df["event_id"].astype(np.int64),
-                             "user_id": df["user_id"].astype(np.int64),
-                             "asof_days": days.astype("Int64")})
+    def finish(t: pa.Table) -> pa.Table:
+        # epoch days = floor(micros / 86_400e6); all order dates are
+        # post-1970 so floor == the pandas .dt.days it replaces
+        micros = pc.cast(t["rt"], pa.int64())
+        days = pc.divide(micros, 86_400_000_000)  # int div truncates >=0
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "asof_days": pc.cast(days, pa.int64())})
 
-    return out.map_batches(finish, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def rel_sessionize(sf_dir: str):
@@ -793,17 +798,29 @@ def rel_last_event_per_user(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     buckets = 64
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["user_id"], index=False).to_numpy()
-        return df.assign(_gb=(h % buckets).astype(np.int64))
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # Fibonacci-hash the int64 key — cheap, deterministic, and
+        # mixes low bits so modulo doesn't alias sequential user ids
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_gb", pa.array((h % buckets).astype(np.int64)))
 
-    def last_per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        g = g.drop_duplicates("user_id", keep="last")
-        return g[["user_id", "event_id", "event_type"]]
+    def last_per_user(g: pa.Table) -> pa.Table:
+        # one vectorized sort per bucket, then the last row of each
+        # user run — never one Python call per distinct user
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        last = np.nonzero(np.diff(u, append=np.int64(-1)) != 0)[0] \
+            if len(u) else np.empty(0, dtype=np.int64)
+        return g.take(pa.array(last)) \
+            .select(["user_id", "event_id", "event_type"])
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("_gb").map_groups(last_per_user, batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(last_per_user, batch_format="pyarrow")
 
 
 def rel_window_tumbling(sf_dir: str):
@@ -877,7 +894,8 @@ def dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.minhash_dedup_pairs(ds, id_col="doc_id", text_col="text",
                                       verify_threshold=0.5)
-    return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
+    return pairs.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow")
 
 
 def dedup_ngram(sf_dir: str):
@@ -894,8 +912,8 @@ def dedup_simhash(sf_dir: str):
     pytest holds the brute-force parity proof)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.simhash_dedup_pairs(ds, hamming_max=3, bands=4)
-    return pairs.map_batches(lambda d: d[["a", "b", "hamming"]],
-                             batch_format="pandas")
+    return pairs.map_batches(lambda t: t.select(["a", "b", "hamming"]),
+                             batch_format="pyarrow")
 
 
 def dedup_embedding(sf_dir: str):
@@ -920,7 +938,8 @@ def dedup_embedding_lsh(sf_dir: str):
     against brute force."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = dedup.embedding_dup_pairs_lsh(ds, threshold=0.4, n_bits=4)
-    return pairs.map_batches(lambda d: d[["a", "b"]], batch_format="pandas")
+    return pairs.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- ANN
@@ -938,8 +957,8 @@ def ann_topk(sf_dir: str):
     qref = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(ds, qref, k=10)
-    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
-                           batch_format="pandas")
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]),
+                           batch_format="pyarrow")
 
 
 def ann_ivf_indexed(sf_dir: str):
@@ -963,8 +982,8 @@ def ann_ivf_indexed(sf_dir: str):
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         build_ivf_index(ds, index_dir, centroids=centroids)
     out = ivf_search_indexed(index_dir, qref, nprobe=4, k=10)
-    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
-                           batch_format="pandas")
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]),
+                           batch_format="pyarrow")
 
 
 def ann_lsh(sf_dir: str):
@@ -972,8 +991,8 @@ def ann_lsh(sf_dir: str):
     planes = make_hyperplanes(64, n_bits=6)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = lsh_topk(ds, qref, planes=planes, k=10)
-    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
-                           batch_format="pandas")
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]),
+                           batch_format="pyarrow")
 
 
 def ann_ivf(sf_dir: str):
@@ -986,8 +1005,8 @@ def ann_ivf(sf_dir: str):
     centroids = train_centroids(sample, n_centroids=16)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ivf_topk(ds, qref, centroids=centroids, nprobe=4, k=10)
-    return out.map_batches(lambda d: d[["query_id", "vec_id"]],
-                           batch_format="pandas")
+    return out.map_batches(lambda t: t.select(["query_id", "vec_id"]),
+                           batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ registry

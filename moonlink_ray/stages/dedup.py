@@ -51,11 +51,23 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         return batch.append_column(
             "_gb", pa.array((h % _GB_BUCKETS).astype(np.int64), pa.int64()))
 
-    def first(bucket: pd.DataFrame) -> pd.DataFrame:
-        return bucket.sort_values(id_col).drop_duplicates("_h", keep="first")
+    def first(bucket: pa.Table) -> pa.Table:
+        # full document rows ride this fold: keep it Arrow (no pandas
+        # copy of the text column) — sort by (_h, id), keep each hash
+        # run's first row
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(bucket, sort_keys=[("_h", "ascending"),
+                                                 (id_col, "ascending")])
+        bucket = bucket.take(idx)
+        h = bucket["_h"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return bucket
+        keep = np.concatenate(
+            [[0], np.nonzero(np.diff(h) != 0)[0] + 1])
+        return bucket.take(pa.array(keep, pa.int64()))
 
     out = ds.map_batches(add_hash, batch_format="pyarrow")
-    return out.groupby("_gb").map_groups(first, batch_format="pandas") \
+    return out.groupby("_gb").map_groups(first, batch_format="pyarrow") \
         .drop_columns(["_h", "_gb"])
 
 

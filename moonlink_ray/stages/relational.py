@@ -65,15 +65,41 @@ def partial_groupby_sum(ds, keys: list[str], sum_cols: list[str],
 
 def broadcast_join(ds, small_ref, *, left_on: str, right_on: str,
                    how: str = "inner"):
-    """Join ``ds`` against a broadcast pandas DataFrame (``ray.put`` it
-    first). The classic small-dimension-table pattern."""
+    """Join ``ds`` against a broadcast ``pyarrow.Table`` (``ray.put`` it
+    first). The classic small-dimension-table pattern, zero-copy end to
+    end: the probe is one ``pc.index_in`` per batch plus a ``take`` of
+    the payload columns — no pandas conversion of the row stream.
+
+    The build side's join keys must be UNIQUE (it is a dimension
+    table); ``index_in`` returns the first match so duplicate build
+    keys would silently drop rows a pandas merge would multiply."""
+    import pyarrow.compute as pc
     import ray
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        small = ray.get(small_ref)
-        return batch.merge(small, left_on=left_on, right_on=right_on, how=how)
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, not {how!r}")
 
-    return ds.map_batches(join, batch_format="pandas")
+    def join(batch: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)          # pa.Table, plasma-shared
+        if not isinstance(small, pa.Table):  # pandas build side: convert
+            small = pa.Table.from_pandas(small, preserve_index=False)
+        small = small.combine_chunks()
+        idx = pc.index_in(batch[left_on], value_set=small[right_on])
+        if how == "inner":
+            keep = pc.is_valid(idx)
+            batch, idx = batch.filter(keep), idx.filter(keep)
+        for name in small.column_names:
+            if name == right_on and name != left_on:
+                continue        # key already present under left_on
+            col = small[name].take(idx)     # null idx -> null (left join)
+            if name in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(name), name, col)
+            else:
+                batch = batch.append_column(name, col)
+        return batch
+
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 def semi_anti_filter(ds, key_set_ref, *, col: str, anti: bool = False):
