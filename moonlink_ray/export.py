@@ -83,6 +83,14 @@ def _delta_type(name: str):
     if name.startswith("list<") and name.endswith(">"):
         return {"type": "array", "elementType": _delta_type(name[5:-1]),
                 "containsNull": True}
+    if name.startswith("struct<") and name.endswith(">"):
+        from .schema import _split_top
+        fields = []
+        for part in _split_top(name[7:-1], ","):
+            nm, _, tn = part.partition(":")
+            fields.append({"name": nm, "type": _delta_type(tn),
+                           "nullable": True, "metadata": {}})
+        return {"type": "struct", "fields": fields}
     if name == "time64[us]":
         # intentional gap: the Delta protocol has no TIME type, and
         # declaring `long` over parquet TIME(us)-annotated files would

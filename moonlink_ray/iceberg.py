@@ -194,21 +194,51 @@ def _iceberg_type(name: str):
     if name.startswith("list<") and name.endswith(">"):
         return {"type": "list", "element": _iceberg_type(name[5:-1]),
                 "element-required": False}
+    if name.startswith("struct<") and name.endswith(">"):
+        from .schema import _split_top
+        fields = []
+        for part in _split_top(name[7:-1], ","):
+            nm, _, tn = part.partition(":")
+            fields.append({"name": nm, "required": False,
+                           "type": _iceberg_type(tn)})
+        return {"type": "struct", "fields": fields}
     raise ValueError(f"no Iceberg mapping for engine type {name!r}")
+
+
+def _assign_nested_ids(t, alloc) -> object:
+    """Iceberg requires a unique field-id on every NESTED element/field
+    too (spec 'Schemas and Data Types'); allocate them depth-first so
+    the assignment is deterministic for a given schema."""
+    if not isinstance(t, dict):
+        return t
+    if t.get("type") == "list":
+        out = {**t, "element-id": alloc()}
+        out["element"] = _assign_nested_ids(out["element"], alloc)
+        return out
+    if t.get("type") == "struct":
+        fields = []
+        for f in t["fields"]:
+            fid = alloc()
+            fields.append({**f, "id": fid,
+                           "type": _assign_nested_ids(f["type"], alloc)})
+        return {**t, "fields": fields}
+    return t
 
 
 def _iceberg_schema(schema_list: list) -> dict:
     fields = []
-    next_id = len(schema_list) + 1
+    counter = [len(schema_list)]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
     out = {"type": "struct", "schema-id": 0, "fields": fields}
     for i, (name, tname) in enumerate(schema_list):
-        t = _iceberg_type(tname)
-        if isinstance(t, dict) and t.get("type") == "list":
-            t = {**t, "element-id": next_id}
-            next_id += 1
+        t = _assign_nested_ids(_iceberg_type(tname), alloc)
         fields.append({"id": i + 1, "name": name, "required": False,
                        "type": t})
-    out["last-column-id"] = next_id - 1
+    out["last-column-id"] = counter[0]
     return out
 
 

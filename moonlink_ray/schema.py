@@ -21,11 +21,12 @@ from .manifest import Snapshot, commit, load
 from .synth import IMAGES_SCHEMA
 
 # serializable type vocabulary for snapshot descriptors. Beyond the
-# scalar names below, three PARAMETRIC forms mirror the breadth of
+# scalar names below, four PARAMETRIC forms mirror the breadth of
 # moonlink's REST JSON converter (``rest_ingest/json_converter.rs:
 # 34-200`` + ``decimal_utils.rs``: decimals with validation, date/time,
-# nested lists): ``decimal128(p,s)``, ``decimal128(p)``, and
-# ``list<T>`` for any vocabulary element T.
+# nested lists and structs): ``decimal128(p,s)``, ``decimal128(p)``,
+# ``list<T>`` and ``struct<name:T,...>`` for any vocabulary element T,
+# nested arbitrarily.
 _TYPES = {
     "string": pa.string(),
     "binary": pa.binary(),
@@ -47,12 +48,40 @@ _TYPE_NAMES = {v: k for k, v in _TYPES.items()}
 PROTECTED_COLUMNS = ("image_id", "bytes", "phash", "w", "h")
 
 
+def _split_top(body: str, sep: str) -> list[str]:
+    """Split ``body`` on ``sep`` at angle-bracket/paren depth 0 only —
+    nested ``list<struct<a:int64,b:string>>`` commas stay intact."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    parts.append(body[start:])
+    return parts
+
+
 def type_from_name(name: str) -> pa.DataType:
     got = _TYPES.get(name)
     if got is not None:
         return got
     if name.startswith("list<") and name.endswith(">"):
         return pa.list_(type_from_name(name[5:-1]))
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = []
+        for part in _split_top(name[7:-1], ","):
+            nm, _, tn = part.partition(":")
+            if not nm or not tn:
+                raise ValueError(f"bad struct field {part!r} in {name!r}; "
+                                 f"expected name:type")
+            fields.append(pa.field(nm, type_from_name(tn)))
+        if not fields:
+            raise ValueError(f"struct type needs at least one field: "
+                             f"{name!r}")
+        return pa.struct(fields)
     if name.startswith("decimal128(") and name.endswith(")"):
         body = name[len("decimal128("):-1]
         try:
@@ -67,7 +96,7 @@ def type_from_name(name: str) -> pa.DataType:
                          f"expected decimal128(precision[,scale])")
     raise ValueError(f"unsupported column type {name!r}; "
                      f"one of {sorted(_TYPES)}, decimal128(p[,s]), "
-                     f"or list<T>")
+                     f"list<T>, or struct<name:T,...>")
 
 
 def type_to_name(t: pa.DataType) -> str:
@@ -76,6 +105,9 @@ def type_to_name(t: pa.DataType) -> str:
         return got
     if pa.types.is_list(t):
         return f"list<{type_to_name(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_to_name(f.type)}" for f in t)
+        return f"struct<{inner}>"
     if pa.types.is_decimal128(t):
         return f"decimal128({t.precision},{t.scale})"
     raise ValueError(f"type {t} has no serializable name")

@@ -18,7 +18,11 @@ Validation semantics (mirroring the REST converter's strictness):
 - typed conversion per schema column: strings/ints/floats/bools cast
   with overflow/lossy-cast errors surfaced; ``timestamp[us]`` parses
   ISO-8601 strings; ``binary`` columns are base64 strings in JSON
-  (binary cannot ride raw JSON); deletes may omit content fields;
+  (binary cannot ride raw JSON); ``decimal128`` accepts JSON strings
+  only (validated against precision/scale); ``list<T>`` and
+  ``struct<...>`` convert recursively — struct fields match by name,
+  absent fields null-fill, extra fields follow the strictness rule of
+  the leaf cast; deletes may omit content fields;
 - fields absent from a row are null-filled; fields not in the active
   schema (never-declared or ALTER-dropped) raise in ``strict`` mode and
   are silently dropped otherwise;
@@ -49,6 +53,8 @@ def _has_decimal(t: pa.DataType) -> bool:
         return True
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _has_decimal(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_has_decimal(f.type) for f in t)
     return False
 
 
@@ -56,14 +62,68 @@ def _decimal_src_ok(src: pa.DataType, dst: pa.DataType) -> bool:
     """Decimal targets must be fed JSON strings (the reference's
     converter rejects JSON numbers for Decimal128 outright —
     json_converter.rs:133-146 — because a binary float has no exact
-    decimal identity). Checked recursively through list nesting."""
+    decimal identity). Checked recursively through list and struct
+    nesting."""
     if pa.types.is_decimal(dst):
         return (pa.types.is_string(src) or pa.types.is_large_string(src)
                 or pa.types.is_null(src) or pa.types.is_decimal(src))
     if (pa.types.is_list(dst) or pa.types.is_large_list(dst)) and (
             pa.types.is_list(src) or pa.types.is_large_list(src)):
         return _decimal_src_ok(src.value_type, dst.value_type)
+    if pa.types.is_struct(dst) and pa.types.is_struct(src):
+        by_name = {f.name: f.type for f in src}
+        return all(_decimal_src_ok(by_name[f.name], f.type)
+                   for f in dst if f.name in by_name)
     return True
+
+
+def _restructure(arr: pa.Array, dst: pa.DataType) -> pa.Array:
+    """Align a JSON-inferred nested array to the target's SHAPE (not
+    yet its leaf types): struct children are matched by name — missing
+    children null-fill, extra children drop — recursively through
+    lists. Arrow's cast then handles leaf conversion; on its own it
+    refuses structs whose field sets differ (the JSON reader only
+    infers fields that appear), so rows that omit optional struct
+    fields would be unconvertible without this. The reference's
+    converter walks nested fields the same way
+    (json_converter.rs:34-200: field-by-field decode with null-fill
+    for absent fields)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    src = arr.type
+    if pa.types.is_struct(dst):
+        if pa.types.is_null(src):
+            return arr  # cast null -> struct null-fills directly
+        if not pa.types.is_struct(src):
+            raise pa.ArrowTypeError(f"cannot restructure {src} as {dst}")
+        have = {f.name: i for i, f in enumerate(src)}
+        children = []
+        for f in dst:
+            if f.name in have:
+                children.append(_restructure(arr.field(have[f.name]),
+                                             f.type))
+            else:
+                children.append(pa.nulls(len(arr), f.type))
+        return pa.StructArray.from_arrays(
+            children, names=[f.name for f in dst],
+            mask=arr.is_null() if arr.null_count else None)
+    if pa.types.is_list(dst) and (pa.types.is_list(src)
+                                  or pa.types.is_large_list(src)):
+        if pa.types.is_large_list(src):
+            arr = arr.cast(pa.list_(src.value_type))
+        values = _restructure(arr.values, dst.value_type)
+        return pa.ListArray.from_arrays(
+            arr.offsets, values,
+            mask=arr.is_null() if arr.null_count else None)
+    return arr
+
+
+def _needs_restructure(t: pa.DataType) -> bool:
+    if pa.types.is_struct(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _needs_restructure(t.value_type)
+    return False
 
 
 def _decode_b64(val, i: int, strict: bool):
@@ -115,6 +175,10 @@ class JsonCdcParser:
                 pa.types.is_string(src) or pa.types.is_large_string(src)):
             pass  # Arrow's string->timestamp cast parses ISO-8601
         try:
+            if _needs_restructure(field.type):
+                col = _restructure(
+                    col if isinstance(col, pa.ChunkedArray)
+                    else pa.chunked_array([col]), field.type)
             return col.cast(field.type)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                 pa.ArrowTypeError) as e:
@@ -125,9 +189,19 @@ class JsonCdcParser:
         # tolerant slow path: per-row SAFE cast (pa.scalar would truncate
         # lossy numerics silently), bad rows masked out
         vals = []
+        nested = _needs_restructure(field.type)
         for i, v in enumerate(col.to_pylist()):
             try:
-                vals.append(pa.array([v], src).cast(field.type)[0].as_py())
+                if nested:
+                    # build at the row's own inferred shape, align the
+                    # struct/list skeleton, then SAFE-cast the leaves —
+                    # pa.array straight at the target type would
+                    # truncate lossy numerics silently
+                    a = _restructure(pa.array([v]), field.type)
+                    vals.append(a.cast(field.type)[0].as_py())
+                else:
+                    vals.append(
+                        pa.array([v], src).cast(field.type)[0].as_py())
             except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError,
                     ValueError):
                 vals.append(None)

@@ -250,3 +250,114 @@ def test_parser_nested_list_conversion():
         JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
     assert JsonCdcParser(strict=False, cdc=False,
                          schema_list=sch)(bad).num_rows == 0
+
+
+def test_schema_struct_name_round_trip():
+    """struct<...> joins the serializable vocabulary: name -> type ->
+    name is identity through arbitrary nesting (the converter breadth
+    of rest_ingest/json_converter.rs:34-200 includes nested structs)."""
+    from moonlink_ray.schema import type_from_name, type_to_name
+    names = [
+        "struct<a:int64,b:string>",
+        "struct<d:decimal128(10,2),v:list<float32>>",
+        "list<struct<x:int32,y:struct<z:timestamp[us]>>>",
+        "struct<outer:list<struct<a:int64,b:list<string>>>,flag:bool>",
+    ]
+    for n in names:
+        t = type_from_name(n)
+        assert type_to_name(t) == n, n
+    with pytest.raises(ValueError, match="struct"):
+        type_from_name("struct<>")
+    with pytest.raises(ValueError, match="name:type"):
+        type_from_name("struct<missingcolon>")
+
+
+def test_parser_struct_column_null_fills_missing_fields():
+    """Struct values convert field-by-field: absent fields null-fill,
+    extra fields drop, leaf casts validate — the JSON converter's
+    nested-field walk (json_converter.rs:34-200)."""
+    sch = [["image_id", "string"],
+           ["meta", "struct<w:int32,h:int32,tag:string>"]]
+    src = pa.table({
+        "image_id": ["a", "b", "c"],
+        "meta": pa.array([{"w": 4, "h": 3, "tag": "x", "junk": 9},
+                          {"w": 7},            # h/tag absent -> null
+                          None])})             # whole struct null
+    out = JsonCdcParser(strict=True, cdc=False, schema_list=sch)(src)
+    assert out["meta"].to_pylist() == [
+        {"w": 4, "h": 3, "tag": "x"},
+        {"w": 7, "h": None, "tag": None},
+        None]
+    assert out.schema.field("meta").type == pa.struct(
+        [("w", pa.int32()), ("h", pa.int32()), ("tag", pa.string())])
+
+
+def test_parser_struct_decimal_requires_json_string():
+    """The decimal-needs-a-string rule recurses into struct fields."""
+    sch = [["image_id", "string"],
+           ["pay", "struct<amount:decimal128(9,2),cur:string>"]]
+    bad = pa.table({
+        "image_id": ["a"],
+        "pay": pa.array([{"amount": 1.25, "cur": "usd"}])})
+    with pytest.raises(JsonRowError, match="pay.*strings"):
+        JsonCdcParser(strict=True, cdc=False, schema_list=sch)(bad)
+    good = pa.table({
+        "image_id": ["a"],
+        "pay": pa.array([{"amount": "1.25", "cur": "usd"}])})
+    out = JsonCdcParser(strict=True, cdc=False, schema_list=sch)(good)
+    from decimal import Decimal
+    assert out["pay"].to_pylist() == [
+        {"amount": Decimal("1.25"), "cur": "usd"}]
+
+
+def test_parser_struct_tolerant_masks_lossy_rows():
+    """Tolerant mode drops only the rows whose struct leaves cannot
+    convert losslessly."""
+    sch = [["image_id", "string"], ["m", "struct<n:int32>"]]
+    src = pa.table({
+        "image_id": ["a", "b"],
+        "m": pa.array([{"n": 1.0}, {"n": 2.5}])})   # 2.5 is lossy
+    out = JsonCdcParser(strict=False, cdc=False, schema_list=sch)(src)
+    assert out["image_id"].to_pylist() == ["a"]
+    assert out["m"].to_pylist() == [{"n": 1}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_json_ingest_struct_column_end_to_end(tmp_path):
+    """ALTER-add a struct column, JSON-append rows (some omitting
+    nested fields), scan it back typed; the Iceberg export publishes
+    nested field-ids for it."""
+    from moonlink_ray.schema import alter_table
+
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 10, rows_per_fragment=8)
+    alter_table(root, add=[
+        ("exif", "struct<iso:int32,lens:string,gps:list<float64>>")])
+
+    rows = []
+    for i in range(3):
+        r = _row_json(3000 + i)
+        r["exif"] = ({"iso": 100 * (i + 1), "lens": f"L{i}",
+                      "gps": [1.0 * i, 2.0]} if i < 2
+                     else {"iso": 800})      # row 2 omits lens/gps
+        rows.append(r)
+    p = _write_jsonl(tmp_path / "structs.jsonl", rows)
+    snap = append_json(root, p)
+    got = scan_arrow(root, snapshot=snap, sort_by="image_id")
+    newest = got.slice(got.num_rows - 3)["exif"].to_pylist()
+    assert newest == [
+        {"iso": 100, "lens": "L0", "gps": [0.0, 2.0]},
+        {"iso": 200, "lens": "L1", "gps": [1.0, 2.0]},
+        {"iso": 800, "lens": None, "gps": None}]
+    assert got["exif"].null_count == 10      # pre-ALTER rows null-fill
+
+    # iceberg schema JSON: every nested field/element carries an id
+    from moonlink_ray.iceberg import _iceberg_schema
+    from moonlink_ray.schema import schema_to_list, table_schema
+    sj = _iceberg_schema(schema_to_list(table_schema(load(root))))
+    exif = next(f for f in sj["fields"] if f["name"] == "exif")
+    assert exif["type"]["type"] == "struct"
+    ids = [f["id"] for f in exif["type"]["fields"]]
+    gps = next(f for f in exif["type"]["fields"] if f["name"] == "gps")
+    assert gps["type"]["element-id"] not in ids
+    assert sj["last-column-id"] >= max(ids + [gps["type"]["element-id"]])
