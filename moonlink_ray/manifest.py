@@ -262,3 +262,49 @@ def clear_lineage(root: str, run_id: str) -> None:
     for name in fs.listdir(d):
         fs.delete(f"{d}/{name}")
     fs.delete_dir(d)
+
+
+# ------------------------------------------------------------------ pins
+
+def pin_snapshot(root: str, version: int, token: str) -> None:
+    """Pin ``version`` against expire — the batch analog of moonlink's
+    per-connection read-state map (``/root/reference/src/
+    moonlink_service/src/rpc_server.rs:168-180``: ``scan_table_begin``
+    inserts the table state into a map held until ``scan_table_end`` /
+    connection close, so files a reader was handed are never GC'd
+    under it). Here the pin is a tiny JSON file under ``pins/`` so it
+    works across processes and object stores; ``expire`` unions pinned
+    versions into the retained set."""
+    import time
+    fs = for_root(root)
+    fs.makedirs("pins")
+    fs.write_text_atomic(f"pins/{token}.json", json.dumps(
+        {"version": int(version), "created": time.time()}))
+
+
+def unpin_snapshot(root: str, token: str) -> bool:
+    return for_root(root).delete(f"pins/{token}.json")
+
+
+def pinned_versions(root: str, *, max_age_s: float | None = None) -> set[int]:
+    """Versions currently pinned. Pins older than ``max_age_s`` are
+    ignored AND removed (a reader that died without ``scan_table_end``
+    — the reference frees its map on connection close; a file pin
+    needs a staleness bound instead)."""
+    import time
+    fs = for_root(root)
+    out: set[int] = set()
+    now = time.time()
+    for name in fs.listdir("pins"):
+        if not name.endswith(".json") or ".tmp-" in name:
+            continue
+        rel = f"pins/{name}"
+        try:
+            rec = json.loads(fs.read_text(rel))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if max_age_s is not None and now - rec.get("created", 0) > max_age_s:
+            fs.delete(rel)
+            continue
+        out.add(int(rec["version"]))
+    return out

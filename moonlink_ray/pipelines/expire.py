@@ -28,7 +28,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..fs import for_root
-from ..manifest import Snapshot, lineage_dir, list_versions, load
+from ..manifest import (Snapshot, lineage_dir, list_versions, load,
+                        pinned_versions)
 
 _RAY_DELETE_THRESHOLD = 512
 
@@ -64,12 +65,20 @@ def _delete_files(root: str, rel_paths: list[str]) -> int:
     return sum(1 for p in rel_paths if fs.retire(p))
 
 
-def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict:
-    """Expire old snapshots; returns a report dict."""
+def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True,
+           pin_max_age_s: float = 24 * 3600.0) -> dict:
+    """Expire old snapshots; returns a report dict.
+
+    Versions pinned by an active reader (``manifest.pin_snapshot`` —
+    the RPC ``scan_table_begin`` handoff) are retained regardless of
+    ``keep_last``, so a reader holding a file list never has files
+    deleted under it; pins older than ``pin_max_age_s`` are treated as
+    leaked (reader died without ``scan_table_end``) and dropped."""
     import time
     t0 = time.perf_counter()
     versions = list_versions(root)
-    retained = versions[-max(1, keep_last):]
+    pinned = pinned_versions(root, max_age_s=pin_max_age_s) & set(versions)
+    retained = sorted(set(versions[-max(1, keep_last):]) | pinned)
     expired = [v for v in versions if v not in retained]
     reachable, retained_runs = _reachable(root, retained)
 
@@ -122,6 +131,7 @@ def expire(root: str, *, keep_last: int = 2, clean_orphans: bool = True) -> dict
             removed_tmp += 1
 
     return {"retained_versions": retained, "expired_versions": expired,
+            "pinned_versions": sorted(pinned),
             "deleted_files": deleted, "removed_tmp": removed_tmp,
             "removed_lineage_runs": removed_lineage,
             "metrics": {"wall_sec": round(time.perf_counter() - t0, 3),

@@ -67,12 +67,24 @@ class ExpireConfig:
 
 
 @dataclass
+class ExportConfig:
+    """Interop sync targets — the analog of moonlink's per-table
+    Iceberg warehouse location (``/root/reference/src/moonlink_backend/
+    src/table_config.rs`` IcebergTableConfig). When ``iceberg_dest`` /
+    ``delta_dest`` is set, ``create_snapshot`` (RPC) and
+    ``engine sync-*`` default their destination to it."""
+    iceberg_dest: str = ""
+    delta_dest: str = ""
+
+
+@dataclass
 class TableConfig:
     compaction: CompactionConfig = field(default_factory=CompactionConfig)
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     follow: FollowConfig = field(default_factory=FollowConfig)
     expire: ExpireConfig = field(default_factory=ExpireConfig)
     identity: IdentityConfig = field(default_factory=IdentityConfig)
+    export: ExportConfig = field(default_factory=ExportConfig)
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -80,7 +92,7 @@ class TableConfig:
 
 _SECTIONS = {"compaction": CompactionConfig, "cluster": ClusterConfig,
              "follow": FollowConfig, "expire": ExpireConfig,
-             "identity": IdentityConfig}
+             "identity": IdentityConfig, "export": ExportConfig}
 
 
 def _merge_section(cls, overrides: dict):
