@@ -121,6 +121,11 @@ def main(argv=None):
                    help="directory holding one table root per name")
     s.add_argument("--port", type=int, default=8030)
     s.add_argument("--host", default="127.0.0.1")
+    s = sub.add_parser("serve-rpc")  # socket RPC: base/<db>/<table>
+    s.add_argument("--base", required=True,
+                   help="warehouse dir: tables live at base/<db>/<table>")
+    s.add_argument("--port", type=int, default=8640)
+    s.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
 
     import ray
@@ -256,6 +261,14 @@ def main(argv=None):
     elif args.cmd == "serve":
         from .service import serve
         serve(args.base, port=args.port, host=args.host)  # blocks
+    elif args.cmd == "serve-rpc":
+        import json as _json
+        from .rpc import make_server
+        srv = make_server(args.base, args.port, args.host)
+        print(_json.dumps({"serving": f"tcp://{args.host}:"
+                                      f"{srv.server_address[1]}",
+                           "base": args.base}), flush=True)
+        srv.serve_forever()  # blocks
         out = {"stopped": True}
     print(json.dumps(out))
     if owns_session:
