@@ -238,8 +238,33 @@ class RpcBackend:
 
     def optimize_table(self, database: str, table: str,
                        mode: str = "full") -> dict:
-        return {**self._svc(database).optimize(table, {"mode": mode}),
-                "database": database}
+        """Reference mode vocabulary (``moonlink_backend/src/lib.rs:
+        306-331``): ``data`` = victim-selected data compaction,
+        ``index`` = index merge (→ our Z-order/Hilbert cluster, the
+        SURVEY §2.5 M3 mapping), ``full`` = compact everything (→ the
+        fused OPTIMIZE). ``incremental`` is accepted as the engine's
+        own extension (victim-only fused pass)."""
+        svc = self._svc(database)
+        root = self._root(database, table)
+        if mode in ("full", "incremental"):
+            return {**svc.optimize(table, {"mode": mode}),
+                    "database": database}
+        if mode == "data":
+            from .pipelines.compact import compact
+            with svc._lock(table):
+                snap = compact(root, mode="best_effort")
+        elif mode == "index":
+            from .pipelines.cluster import cluster
+            with svc._lock(table):
+                snap = cluster(root)
+        else:
+            raise ServiceError(
+                400, f"Unrecognizable table optimization mode {mode!r}, "
+                     f"expected one of 'data', 'index', 'full', "
+                     f"'incremental'")
+        version = (snap or load(root)).version
+        return {"database": database, "table": table, "mode": mode,
+                "version": version}
 
     def scan_table_begin(self, database: str, table: str,
                          lsn: int | None = None) -> tuple[dict, str]:

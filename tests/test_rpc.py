@@ -160,3 +160,23 @@ def test_rpc_errors_keep_connection_alive(rpc):
             client.call("scan_table_end", database="main", table="nope")
         # the connection survived every error above
         assert client.call("list_tables")[0]["table"] == "t4"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rpc_optimize_reference_modes(rpc, tmp_path):
+    # moonlink_backend/src/lib.rs:306-331: data | index | full
+    host, port, _ = rpc
+    with RpcClient(host, port) as client:
+        _load_fixture(client, tmp_path, n=8)
+        v0 = client.call("list_tables")[0]
+        out = client.call("optimize_table", database="main", table="t1",
+                          mode="data")
+        assert out["version"] >= 1
+        out = client.call("optimize_table", database="main", table="t1",
+                          mode="index")
+        assert out["mode"] == "index" and out["version"] >= 1
+        with pytest.raises(RpcError, match="Unrecognizable"):
+            client.call("optimize_table", database="main", table="t1",
+                        mode="bogus")
+        assert client.call("list_tables")[0]["cardinality"] == \
+            v0["cardinality"]
