@@ -40,11 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from moonlink_ray.queries import oracle_sql as _o, ensure_images_fixture
-    # the maintenance oracles read /tmp/mlray/sf0.01/*.parquet: make sure
-    # the deterministic fixture exists even if the oracle runs first
+    from moonlink_ray.queries import (ORACLE_SF, ensure_images_fixture,
+                                      oracle_sql as _o)
+    # the maintenance oracles read /tmp/mlray/<ORACLE_SF>/*.parquet
+    # (sf0.01 unless MLRAY_ORACLE_SF overrides): make sure the
+    # deterministic fixture exists even if the oracle runs first
     try:
-        ensure_images_fixture("/root/testdata/sf0.01")
+        ensure_images_fixture(f"/root/testdata/{ORACLE_SF}")
     except Exception:
         pass
     return _o()

@@ -57,7 +57,11 @@ def _pick_data_root() -> str:
 
 
 DATA_ROOT = _pick_data_root()
-ORACLE_SF = "sf0.01"  # correctness runs at this scale; SQL paths pin it
+# correctness runs at this scale; the oracle SQL strings are static so
+# the fixture paths they read are pinned at import time. The driver's
+# gate runs at sf0.01; tools/check_queries.py overrides via env to
+# prove the maint oracles at bench scale too (VERDICT r3 item #5).
+ORACLE_SF = os.environ.get("MLRAY_ORACLE_SF", "sf0.01")
 
 
 def _sf_name(sf_dir: str) -> str:

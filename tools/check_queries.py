@@ -46,12 +46,41 @@ def value_hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(norm(df).astype(str), index=False).sum())
 
 
+def _reap_scratch(base_dir: str) -> float:
+    """Delete per-query scratch (the hardlinked table copies + export
+    dests) so a bench-scale run doesn't accumulate ~10 GB of tmpfs per
+    maintenance query (one full suite at sf0.1 left 91 GB behind and
+    OOM'd the raylet). Cached inputs survive: the pristine ``table``
+    root, the parquet dumps, and ``follow-incoming`` — everything else
+    under the fixture dir is rebuilt by whichever query needs it.
+    Returns GB freed. Opt out with MLRAY_KEEP_SCRATCH=1."""
+    import shutil
+    keep = {"table", "follow-incoming"}
+    freed = 0
+    if not os.path.isdir(base_dir):
+        return 0.0
+    for name in os.listdir(base_dir):
+        p = os.path.join(base_dir, name)
+        if name in keep or not os.path.isdir(p):
+            continue
+        freed += sum(os.lstat(os.path.join(dp, f)).st_size
+                     for dp, _, fs in os.walk(p) for f in fs)
+        shutil.rmtree(p, ignore_errors=True)
+    return freed / 1e9
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # pin the static oracle-SQL fixture paths to the scale under test
+    # BEFORE the queries module is imported
+    os.environ.setdefault("MLRAY_ORACLE_SF", os.path.basename(
+        os.path.normpath(sf_dir)))
 
     import ray
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("MLRAY_CHECK_CPUS", "8")),
+             include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
@@ -65,6 +94,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    from moonlink_ray.queries import DATA_ROOT
+    scratch_base = os.path.join(
+        DATA_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    reap = os.environ.get("MLRAY_KEEP_SCRATCH") != "1"
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -76,6 +110,9 @@ def main():
             failures.append(name)
             print(f"FAIL  {name:24s} query raised: {type(e).__name__}: {e}")
             continue
+        finally:
+            if reap:
+                _reap_scratch(scratch_base)
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok-   {name:24s} rows={len(got):6d} (rows-only) {dt:5.1f}s")
