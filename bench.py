@@ -114,8 +114,11 @@ def run_suite(rep: int = 0) -> dict:
     root = _fresh_copy(fix, f"bench{NCPU}r{rep}")
 
     # warm the page cache with one untimed scan so we measure
-    # compute + shuffle, not first-touch disk reads
-    scan(root, columns=["image_id", "phash"]).count()
+    # compute + shuffle, not first-touch disk reads. materialize(),
+    # not count(): scan is a Datasource whose ReadTasks declare true
+    # row counts, so count() is answered from metadata without
+    # executing (or warming) anything
+    scan(root, columns=["image_id", "phash"]).materialize()
     fault0 = settle_fault_path()  # untimed; see fault_weather
 
     from moonlink_ray import pagepool
@@ -165,7 +168,7 @@ def run_legacy_stages() -> dict:
 
     fix = ensure_images_fixture(SF_DIR)
     root = _fresh_copy(fix, f"legacy{NCPU}")
-    scan(root, columns=["image_id", "phash"]).count()
+    scan(root, columns=["image_id", "phash"]).materialize()
     merge(root, fix["cdc"])  # untimed: establishes the r01 input state
     out = {}
     t = time.perf_counter()
@@ -206,6 +209,13 @@ def bench_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+
+    # untimed: spawn the session's worker processes and pay their
+    # one-time heap prewarm NOW (a fresh session otherwise charges it
+    # to whichever stage runs first — it inverted merge's 8-vs-32
+    # scaling; long-lived cluster workers are already warm)
+    from moonlink_ray.runtime import warm_workers
+    warm_workers()
 
     # per-stage best-of-N: the sandbox VM shows +/-40% ambient wall-clock
     # noise on identical runs (see BASELINE.md); the faster rep of each

@@ -162,3 +162,36 @@ def _prewarm_worker_heap() -> None:
             del m, buf
     except Exception:
         pass
+
+
+def warm_workers(count: int | None = None) -> float:
+    """Start ``count`` Ray workers NOW and pay their one-time heap
+    prewarm (see ``_prewarm_worker_heap``) outside any timed window.
+
+    Ray spawns worker processes lazily at first-task time, so a fresh
+    session's first pipeline absorbs every worker's startup + prewarm
+    fault cost (measured: 12-24 GB of first-touch at 32 CPUs, 4-60 s
+    depending on the host's fault-path weather — it inverted the
+    8-vs-32 scaling of whichever stage ran first). A long-lived
+    cluster's workers are already warm; paying the cost here once per
+    session, explicitly and untimed, reproduces that steady state.
+
+    ``count`` defaults to 2x the cluster CPU count — concurrent
+    pipelines (e.g. merge's tombstone+fold executors) queue more
+    1-CPU tasks than cores and Ray backs them with extra worker
+    processes. Returns the wall seconds spent."""
+    import time as _time
+
+    import ray
+
+    if count is None:
+        count = 2 * int(ray.cluster_resources().get("CPU", 4))
+
+    @ray.remote(num_cpus=1)
+    def _warm() -> int:
+        import moonlink_ray  # noqa: F401  (tune_allocator + prewarm)
+        return 1
+
+    t0 = _time.perf_counter()
+    ray.get([_warm.remote() for _ in range(count)])
+    return round(_time.perf_counter() - t0, 2)
