@@ -774,6 +774,34 @@ def rel_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def rel_sample_balanced(sf_dir: str):
+    """Domain rebalancing (training-data mixture control): thin every
+    ``source`` domain to ≈ the smallest domain's row count with a
+    deterministic per-domain modulus k_d = ceil(cnt_d / min_cnt),
+    keeping rows where doc_id % k_d == 0.
+
+    Scale shape: pass 1 is the combiner-pattern count per domain
+    (O(domains) partial rows exchanged, never payload); the domain→k
+    table is O(domains) and rides the task closure (broadcast), so
+    pass 2 is a pure streaming filter — no payload shuffle at any
+    size. The modulus rule (vs exact top-k per domain) is what keeps
+    the selection one-pass: no per-domain quantile or sort is needed.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = partial_groupby_sum(ds, ["source"], [], count_col="cnt")
+    rows = counts.take_all()  # O(domains) — small by construction
+    mn = min(r["cnt"] for r in rows)
+    kmap = {r["source"]: (r["cnt"] + mn - 1) // mn for r in rows}
+
+    def thin(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = t["source"].to_pandas().map(kmap).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(ids % k == 0))
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(thin, batch_format="pyarrow")
+
+
 def rel_topk(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -892,6 +920,43 @@ def text_rolling_fp(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(text.rolling_fingerprint, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "rolling_fp"])
+
+
+def text_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    batching step): documents are concatenated in doc_id order within a
+    shard and cut every ``budget`` tokens; each document is assigned to
+    the pack its FIRST token lands in (start-offset semantics — the
+    cut-spanning doc belongs to the pack it starts in).
+
+    Scale shape: the text column never leaves the read task — each
+    batch reduces to (doc_id, tokens, shard) 24-byte rows before the
+    exchange, so the groupby moves O(rows × 24 B), not the corpus. The
+    per-shard offset is one vectorized cumsum; shards are independent
+    (packing order is doc_id-within-shard by definition), so shard
+    count scales with input partitions at 100 TB while each shard's
+    fold state stays O(rows/shards × 24 B).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shards, budget = 32, 1024
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = text.token_stats(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shard": pa.array((ids % shards).astype(np.int64)),
+            "tokens": t["token_count"]})
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        tok = g["tokens"].to_numpy(zero_copy_only=False)
+        off = np.cumsum(tok) - tok
+        return g.append_column(
+            "pack_id", pa.array((off // budget).astype(np.int64)))
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack, batch_format="pyarrow")
 
 
 def dedup_minhash(sf_dir: str):
@@ -1046,6 +1111,7 @@ def queries():
         "rel_sessionize": rel_sessionize,
         "rel_union": rel_union,
         "rel_sample": rel_sample,
+        "rel_sample_balanced": rel_sample_balanced,
         "rel_topk": rel_topk,
         "rel_distinct": rel_distinct,
         "rel_last_event_per_user": rel_last_event_per_user,
@@ -1061,6 +1127,7 @@ def queries():
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_rolling_fp": text_rolling_fp,
+        "text_pack_sequences": text_pack_sequences,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1234,6 +1301,14 @@ def oracle_sql():
         "rel_sample": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE l_orderkey % 10 = 0""",
+        "rel_sample_balanced": """
+            WITH c AS (SELECT source, COUNT(*) AS cnt
+                       FROM documents GROUP BY source),
+            m AS (SELECT MIN(cnt) AS mn FROM c),
+            r AS (SELECT source, (cnt + mn - 1) // mn AS k FROM c, m)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE d.doc_id % r.k = 0""",
         "rel_asof_join": """
             SELECT e.event_id, e.user_id,
                    CAST(datediff('day', DATE '1970-01-01', o.o_orderdate)
@@ -1288,6 +1363,23 @@ def oracle_sql():
                         GREATEST(len(text), 1)) AS BIGINT) AS alpha_permille
             FROM documents""",
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "text_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 32 AS shard,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, tokens,
+                     COALESCE(SUM(tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM t)
+            SELECT doc_id, shard, tokens,
+                   CAST(off // 1024 AS BIGINT) AS pack_id
+            FROM c""",
         "text_quality": r"""
             WITH t AS (
               SELECT doc_id, COALESCE(text, '') AS txt FROM documents),
