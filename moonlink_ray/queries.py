@@ -1011,6 +1011,31 @@ def dedup_embedding_lsh(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: exact n-gram pairs (same generator
+    and thresholds as ``dedup_ngram``) resolved into connected
+    components — one (doc_id, root) row per clustered doc, root = the
+    smallest doc_id of the component (the canonical survivor)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
+                                      k=3, threshold_permille=500)
+    cc = dedup.connected_components(pairs)
+    return pa.table({"doc_id": pa.array(cc["node"], pa.int64()),
+                     "root": pa.array(cc["root"], pa.int64())})
+
+
+def dedup_resolve(sf_dir: str):
+    """End-to-end dedup: pairs -> connected components -> keep one
+    canonical survivor per cluster, pass every unclustered doc through.
+    Returns the surviving (doc_id, source) rows; the corpus streams —
+    only the O(duplicate docs) drop set is broadcast."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
+                                      k=3, threshold_permille=500)
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return dedup.drop_duplicates_by_pairs(docs, pairs, id_col="doc_id")
+
+
 # ------------------------------------------------------------------- ANN
 
 def _query_vectors(sf_dir: str):
@@ -1122,6 +1147,8 @@ def queries():
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_clusters": dedup_clusters,
+        "dedup_resolve": dedup_resolve,
         "text_stats": text_stats,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -1199,6 +1226,50 @@ _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
           "AS BIGINT)")
 
 
+# Shared CTE chain for the exact n-gram Jaccard pair oracle (the SQL
+# mirror of stages/dedup.ngram_jaccard_pairs: word trigrams, max_df=1000
+# stop-gram guard, jaccard >= 500 permille). Used verbatim by
+# dedup_ngram and extended with a recursive connected-components closure
+# by dedup_clusters / dedup_resolve.
+_NGRAM_PAIR_CTES = r"""
+            toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE len(trim(text)) > 0),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              WHERE x.g NOT IN (SELECT g FROM hot)
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT a, b,
+                     CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
+                       AS jac_permille
+              FROM inter JOIN sizes sa ON sa.doc_id = a
+                         JOIN sizes sb ON sb.doc_id = b
+              WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500)"""
+
+# Recursive transitive closure over the scored pairs: reach(src, dst)
+# enumerates every ordered reachable pair, so each node's component
+# root is LEAST(src, MIN(dst)) — the min-label fixpoint the engine's
+# vectorized hash-min propagation computes (stages/dedup.py
+# connected_components).
+_NGRAM_CC_CTES = _NGRAM_PAIR_CTES + r""",
+            edges AS (SELECT a, b FROM scored
+                      UNION SELECT b AS a, a AS b FROM scored),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)"""
+
+
 def oracle_sql():
     return {
         "maint_merge": _MERGED_SQL,
@@ -1267,31 +1338,18 @@ def oracle_sql():
             SELECT o_orderkey, o_custkey FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                     WHERE c_mktsegment = 'BUILDING')""",
-        "dedup_ngram": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
-              FROM documents WHERE len(trim(text)) > 0),
-            grams AS (
-              SELECT DISTINCT doc_id,
-                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-              FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-              WHERE len(w) >= 3),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-            -- mirror of the engine's max_df=1000 skew guard: grams
-            -- shared by >1000 docs contribute no pair evidence
-            hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
-              WHERE x.g NOT IN (SELECT g FROM hot)
-              GROUP BY 1, 2)
-            SELECT a, b,
-                   CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
-                     AS jac_permille
-            FROM inter JOIN sizes sa ON sa.doc_id = a
-                       JOIN sizes sb ON sb.doc_id = b
-            WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500""",
+        "dedup_ngram": f"WITH {_NGRAM_PAIR_CTES} "
+                       f"SELECT a, b, jac_permille FROM scored",
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_CC_CTES}
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root
+            FROM reach GROUP BY src""",
+        "dedup_resolve": f"""
+            WITH RECURSIVE {_NGRAM_CC_CTES},
+            drops AS (SELECT src AS node FROM reach GROUP BY src
+                      HAVING LEAST(src, MIN(dst)) <> src)
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM drops)""",
         "rel_union": """
             SELECT o_orderkey, o_orderpriority FROM orders
             WHERE o_orderpriority = '1-URGENT'

@@ -604,3 +604,79 @@ def embedding_dup_pairs_lsh(ds, *, id_col="vec_id", emb_col="embedding",
 
     return ds.map_batches(bucketize, batch_format="pandas") \
         .groupby("_lb").map_groups(block, batch_format="pandas")
+
+
+# ------------------------------------------------- cluster resolution
+
+def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b"):
+    """Resolve candidate pairs into duplicate clusters.
+
+    Returns a pandas DataFrame ``(node, root)`` with one row per node
+    that appears in at least one pair; ``root`` is the smallest node id
+    of the node's connected component (the canonical survivor).
+
+    The pair set is the output of an LSH/blocking candidate generator,
+    so it is O(candidate pairs) — orders of magnitude smaller than the
+    corpus — and collecting it to the driver matches the bounded-collect
+    contract the verifiers already use (see ``minhash_dedup_pairs``).
+    The fold itself is vectorized hash-min label propagation with
+    pointer jumping (numpy ``minimum.at`` edge relaxation + ``lab[lab]``
+    contraction, O(E) work per round, O(log n) rounds) — the same
+    fixpoint the distributed small-star/large-star algorithm computes,
+    with no Python per-edge loop. The reference stops at per-key
+    duplicate identification (index probes,
+    src/moonlink/src/storage/index/mem_index.rs:173-415); this is the
+    batch analog every production near-dup pipeline runs after pair
+    emission.
+    """
+    if isinstance(pairs_ds, pd.DataFrame):
+        tbl = pairs_ds
+    else:
+        tbl = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+    ea_raw = tbl[a_col].to_numpy(dtype=np.int64)
+    eb_raw = tbl[b_col].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([ea_raw, eb_raw]))
+    if len(nodes) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "root": pd.Series([], dtype=np.int64)})
+    ea = np.searchsorted(nodes, ea_raw)
+    eb = np.searchsorted(nodes, eb_raw)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ea], lab[eb])
+        new = lab.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        new = new[new]  # pointer jump: label <- label of my label
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pd.DataFrame({"node": nodes, "root": nodes[lab]})
+
+
+def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
+                             a_col: str = "a", b_col: str = "b"):
+    """Filter ``ds`` to the canonical survivor of every duplicate
+    cluster implied by ``pairs_ds`` (plus all unclustered rows).
+
+    The drop set (non-canonical members) is O(duplicate docs); it is
+    broadcast once via ``ray.put`` and each batch filters against it
+    with a vectorized sorted-membership probe — the corpus itself
+    streams, nothing corpus-sized is collected or shuffled.
+    """
+    import ray
+
+    cc = connected_components(pairs_ds, a_col=a_col, b_col=b_col)
+    drop = np.sort(cc.loc[cc["node"] != cc["root"], "node"]
+                   .to_numpy(dtype=np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d, ids).clip(0, len(d) - 1)
+        return batch.filter(pa.array(d[pos] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,81 @@
+"""Connected-components cluster resolution: the vectorized hash-min
+label propagation (stages/dedup.connected_components) vs a literal
+union-find, over random graphs; plus the end-to-end survivor filter."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from moonlink_ray.stages import dedup
+
+
+def _union_find_roots(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_cc_matches_union_find_random(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 400))
+    m = int(rng.integers(0, 3 * n))
+    ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+    ea = rng.choice(ids, size=m)
+    eb = rng.choice(ids, size=m)
+    keep = ea != eb
+    pairs = pd.DataFrame({"a": ea[keep], "b": eb[keep]})
+    got = dedup.connected_components(pairs)
+
+    nodes = np.unique(np.concatenate([pairs["a"], pairs["b"]])) \
+        if len(pairs) else np.array([], dtype=np.int64)
+    want = _union_find_roots(list(zip(pairs["a"], pairs["b"])), nodes)
+    assert dict(zip(got["node"], got["root"])) == want
+
+
+def test_cc_long_chain_converges():
+    # worst case for naive propagation: one path graph; pointer jumping
+    # must still collapse it to a single root (the smallest id)
+    n = 2048
+    pairs = pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64),
+                          "b": np.arange(1, n, dtype=np.int64)})
+    got = dedup.connected_components(pairs)
+    assert (got["root"] == 0).all() and len(got) == n
+
+
+def test_cc_empty():
+    got = dedup.connected_components(
+        pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                      "b": pd.Series([], dtype=np.int64)}))
+    assert len(got) == 0 and list(got.columns) == ["node", "root"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drop_duplicates_by_pairs():
+    import ray.data as rd
+    # clusters {1,2,3} (chain) and {7,9}; 5 untouched
+    pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 9]})
+    docs = rd.from_items([{"doc_id": i, "source": f"s{i}"}
+                          for i in [1, 2, 3, 5, 7, 9]])
+    out = dedup.drop_duplicates_by_pairs(docs, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 5, 7]
+
+    # no pairs -> identity pass-through
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64)})
+    out2 = dedup.drop_duplicates_by_pairs(docs, empty).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 2, 3, 5, 7, 9]
