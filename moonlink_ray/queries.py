@@ -178,13 +178,13 @@ def _digest_bytes(t: pa.Table) -> pa.Table:
     return t.append_column("bytes_len", pa.array(ln, pa.int64()))
 
 
-def _scan_digested(root: str):
+def _scan_digested(root: str, version: int | None = None):
     """Post-maintenance scan as a Dataset of digest rows: the bytes
     column is reduced to (md5, len) inside map_batches, in parallel,
     so only fixed-width rows ever reach the driver."""
     from .sources.scan import scan
-    return scan(root).map_batches(_digest_bytes, batch_format="pyarrow",
-                                  batch_size=None)
+    return scan(root, version=version).map_batches(
+        _digest_bytes, batch_format="pyarrow", batch_size=None)
 
 
 def maint_merge(sf_dir: str):
@@ -199,6 +199,22 @@ def maint_compact(sf_dir: str):
     root = _fresh_copy(fix, "compact")
     compact(root, cfg=_COMPACT_CFG)
     return _scan_digested(root)
+
+
+def maint_time_travel(sf_dir: str):
+    """Snapshot isolation, driver-checked: a reader pinned at version 1
+    sees byte-identical scan results AFTER two maintenance commits
+    (MERGE then force-compact) land on top — the north rule's
+    reader-at-S guarantee, the batch analog of moonlink's
+    snapshot-consistency tests (mooncake_table/snapshot.rs read-state
+    pinning). The oracle is simply the pre-maintenance base table: any
+    leak of post-merge rows or compaction rewrites into the pinned scan
+    value-hash-mismatches."""
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "timetravel")
+    merge(root, fix["cdc"])
+    compact(root, cfg=_COMPACT_CFG)
+    return _scan_digested(root, version=1)
 
 
 def maint_cluster(sf_dir: str):
@@ -1109,6 +1125,7 @@ def queries():
     return {
         "maint_merge": maint_merge,
         "maint_compact": maint_compact,
+        "maint_time_travel": maint_time_travel,
         "maint_cluster": maint_cluster,
         "maint_optimize": maint_optimize,
         "maint_optimize_incremental": maint_optimize_incremental,
@@ -1275,6 +1292,10 @@ def oracle_sql():
         "maint_merge": _MERGED_SQL,
         "maint_compact": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
+        # a version-1 reader after merge+compact must see exactly the
+        # pre-maintenance base table (snapshot isolation)
+        "maint_time_travel": f"SELECT {_DIGEST_COLS} "
+                             f"FROM read_parquet({_MAINT_BASE})",
         "maint_cluster": f"SELECT {_DIGEST_COLS} "
                          f"FROM read_parquet({_MAINT_BASE})",
         "maint_cluster_hilbert": f"SELECT {_DIGEST_COLS} "
