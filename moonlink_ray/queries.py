@@ -1040,6 +1040,35 @@ def dedup_clusters(sf_dir: str):
                      "root": pa.array(cc["root"], pa.int64())})
 
 
+def dedup_incremental(sf_dir: str):
+    """Incremental dedup: the incoming batch (doc_id % 5 == 0, a
+    scale-invariant 20% slice) deduped against a MATERIALIZED gram
+    index of the remaining 80% corpus — corpus text is never re-read;
+    only the index buckets the batch's grams touch are opened. Index
+    built once per scale and cached (same contract as
+    ``ann_ivf_indexed``'s IVF layout)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _is_batch(b: pa.Table) -> np.ndarray:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return (ids % 5) == 0
+
+    def corpus_part(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~_is_batch(b)))
+
+    def batch_part(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(_is_batch(b)))
+
+    index_dir = os.path.join(DATA_ROOT, _sf_name(sf_dir), "gram_index")
+    if not os.path.exists(os.path.join(index_dir, "gram_manifest.json")):
+        dedup.build_gram_index(
+            docs.map_batches(corpus_part, batch_format="pyarrow"),
+            index_dir)
+    new_ds = docs.map_batches(batch_part, batch_format="pyarrow")
+    return dedup.ngram_pairs_vs_index(index_dir, new_ds,
+                                      threshold_permille=500)
+
+
 def dedup_resolve(sf_dir: str):
     """End-to-end dedup: pairs -> connected components -> keep one
     canonical survivor per cluster, pass every unclustered doc through.
@@ -1166,6 +1195,7 @@ def queries():
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_clusters": dedup_clusters,
         "dedup_resolve": dedup_resolve,
+        "dedup_incremental": dedup_incremental,
         "text_stats": text_stats,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
@@ -1245,10 +1275,11 @@ _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
 
 # Shared CTE chain for the exact n-gram Jaccard pair oracle (the SQL
 # mirror of stages/dedup.ngram_jaccard_pairs: word trigrams, max_df=1000
-# stop-gram guard, jaccard >= 500 permille). Used verbatim by
-# dedup_ngram and extended with a recursive connected-components closure
-# by dedup_clusters / dedup_resolve.
-_NGRAM_PAIR_CTES = r"""
+# stop-gram guard, jaccard >= 500 permille). The pair-join condition is
+# parameterized: a<b for the standard all-pairs generator, the %5 split
+# for the incremental (batch-vs-indexed-corpus) variant. Extended with a
+# recursive connected-components closure by dedup_clusters/dedup_resolve.
+_NGRAM_GRAM_CTES = r"""
             toks AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -1259,10 +1290,14 @@ _NGRAM_PAIR_CTES = r"""
               FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
               WHERE len(w) >= 3),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
-            hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000),
+            hot AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1000)"""
+
+
+def _ngram_scored(pair_cond: str) -> str:
+    return _NGRAM_GRAM_CTES + f""",
             inter AS (
               SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-              FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+              FROM grams x JOIN grams y ON x.g = y.g AND {pair_cond}
               WHERE x.g NOT IN (SELECT g FROM hot)
               GROUP BY 1, 2),
             scored AS (
@@ -1272,6 +1307,9 @@ _NGRAM_PAIR_CTES = r"""
               FROM inter JOIN sizes sa ON sa.doc_id = a
                          JOIN sizes sb ON sb.doc_id = b
               WHERE 1000.0 * i / (sa.n + sb.n - i) >= 500)"""
+
+
+_NGRAM_PAIR_CTES = _ngram_scored("x.doc_id < y.doc_id")
 
 # Recursive transitive closure over the scored pairs: reach(src, dst)
 # enumerates every ordered reachable pair, so each node's component
@@ -1361,6 +1399,11 @@ def oracle_sql():
                                     WHERE c_mktsegment = 'BUILDING')""",
         "dedup_ngram": f"WITH {_NGRAM_PAIR_CTES} "
                        f"SELECT a, b, jac_permille FROM scored",
+        # batch (doc_id%5==0) vs corpus (the rest): same grams/sizes/
+        # stop-gram guard, pair join restricted to the split
+        "dedup_incremental":
+            f"WITH {_ngram_scored('x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0')} "
+            f"SELECT a, b, jac_permille FROM scored",
         "dedup_clusters": f"""
             WITH RECURSIVE {_NGRAM_CC_CTES}
             SELECT src AS doc_id, LEAST(src, MIN(dst)) AS root

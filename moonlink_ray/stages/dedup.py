@@ -680,3 +680,180 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
         return batch.filter(pa.array(d[pos] != ids))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -------------------------------------------- incremental (indexed) dedup
+
+def build_gram_index(ds, index_dir: str, *, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3,
+                     n_buckets: int = _GB_BUCKETS) -> dict:
+    """Materialize a corpus's n-gram dedup evidence as a bucketed
+    inverted layout: one parquet directory per gram-hash bucket of
+    (id, g) rows, a ``sizes.parquet`` sidecar (id, n distinct grams),
+    and a JSON manifest.
+
+    At 10^12 docs this is the dedup-index BUILD job (one explode pass +
+    a partitioned write, no shuffle beyond file routing — the same
+    layout story as ``ann.build_ivf_index``). Deduping an incoming
+    batch then reads ONLY the buckets the batch's grams touch, never
+    the corpus text: the batch-vs-corpus analog of the reference's
+    persisted index probe (storage/index/persisted_bucket_hash_map.rs),
+    where re-running ``ngram_jaccard_pairs`` over corpus+batch would
+    re-explode the full corpus per batch.
+    """
+    import json
+    import os
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_ids, out_g = [], []
+        for rid, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            g = gram_hashes(text, k)
+            out_ids.extend([rid] * len(g))
+            out_g.extend(g.astype(np.int64))
+        gb = (np.array(out_g, dtype=np.int64).astype(np.uint64)
+              % n_buckets).astype(np.int64)
+        return pa.table({"id": pa.array(out_ids),
+                         "g": pa.array(out_g, pa.int64()),
+                         "gb": pa.array(gb, pa.int64())})
+
+    ds.map_batches(explode, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "grams"),
+                       partition_cols=["gb"])
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        n = [len(gram_hashes(t, k)) for t in batch[text_col].to_pylist()]
+        return pa.table({"id": batch[id_col],
+                         "n": pa.array(n, pa.int64())})
+
+    ds.map_batches(sizes, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "sizes"))
+
+    manifest = {"k": k, "n_buckets": int(n_buckets)}
+    tmp = os.path.join(index_dir, "gram_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "gram_manifest.json"))
+    return manifest
+
+
+def ngram_pairs_vs_index(index_dir: str, new_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         threshold_permille: int = 500,
+                         max_df: int | None = 1000):
+    """Exact n-gram Jaccard pairs between an incoming batch and an
+    indexed corpus (``build_gram_index``), WITHOUT touching corpus text.
+
+    Batch grams explode and group by bucket; each bucket task reads only
+    its own index partition, applies the ``max_df`` stop-gram guard over
+    the union df (corpus + batch — identical to what a full re-run over
+    corpus∪batch would compute, provided the index covers exactly the
+    non-batch docs), and emits per-bucket partial (a=corpus, b=new)
+    match counts. Corpus gram-set sizes come from the index's sizes
+    sidecar filtered to ONLY the ids that appear in a pair; batch sizes
+    are recomputed via the same bounded semi-join as
+    ``ngram_jaccard_pairs``. Returns Dataset (a, b, jac_permille).
+    Batch-internal (new×new) duplicates are out of scope by contract —
+    run the standard generator over the batch alone for those.
+    """
+    import json
+    import os
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "gram_manifest.json")) as f:
+        manifest = json.load(f)
+    k, n_buckets = manifest["k"], manifest["n_buckets"]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_ids, out_g = [], []
+        for rid, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            g = gram_hashes(text, k)
+            out_ids.extend([rid] * len(g))
+            out_g.extend(g.astype(np.int64))
+        gb = (np.array(out_g, dtype=np.int64).astype(np.uint64)
+              % n_buckets).astype(np.int64)
+        return pa.table({"id": pa.array(out_ids),
+                         "g": pa.array(out_g, pa.int64()),
+                         "gb": pa.array(gb, pa.int64())})
+
+    new_grams = new_ds.map_batches(explode, batch_format="pyarrow")
+
+    def probe_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": group["id"].iloc[:0],
+                              "b": group["id"].iloc[:0].copy(),
+                              "i": pd.Series([], dtype=np.int64)})
+        if len(group) == 0:
+            return empty
+        gb = int(group["gb"].iloc[0])
+        part = os.path.join(index_dir, "grams", f"gb={gb}")
+        if not os.path.isdir(part):
+            return empty
+        import pyarrow.parquet as _pq
+        corpus = _pq.read_table(part, columns=["id", "g"]).to_pandas()
+        if max_df is not None:
+            # union df per gram (corpus + batch) — the stop-gram guard a
+            # full corpus∪batch re-run would apply; exact because gram
+            # space is partitioned by bucket
+            df = pd.concat([corpus["g"], group["g"]]).value_counts()
+            hot = df.index[df > max_df]
+            corpus = corpus[~corpus["g"].isin(hot)]
+            group = group[~group["g"].isin(hot)]
+        m = corpus.merge(group[["id", "g"]], on="g",
+                         suffixes=("_c", "_n"))
+        if len(m) == 0:
+            return empty
+        out = m.groupby(["id_c", "id_n"], sort=False).size().reset_index()
+        out.columns = ["a", "b", "i"]
+        return out.astype({"i": np.int64})
+
+    inter = new_grams.groupby("gb").map_groups(
+        probe_bucket, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Sum("i", alias_name="i")) \
+        .materialize()
+
+    ab = inter.select_columns(["a", "b"]).to_pandas()
+    if len(ab) == 0:
+        return inter.map_batches(
+            lambda b: b[["a", "b"]].assign(
+                jac_permille=pd.Series([], dtype=np.int64)),
+            batch_format="pandas")
+    need_a = sorted(set(ab["a"]))
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as _pds
+    sz = _pq.ParquetDataset(
+        os.path.join(index_dir, "sizes"),
+        filters=_pds.field("id").isin(need_a)).read().to_pandas()
+    na_map = dict(zip(sz["id"], sz["n"]))
+
+    need_b = np.sort(np.unique(ab["b"].to_numpy()))
+    need_ref = ray.put(need_b)
+
+    def sizes_b(batch: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        got = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, got, side="left").clip(0, len(want) - 1)
+        batch = batch.filter(pa.array(want[pos] == got))
+        n = [len(gram_hashes(t, k)) for t in batch[text_col].to_pylist()]
+        return pa.table({"id": batch[id_col],
+                         "n": pa.array(n, pa.int64())})
+
+    nb_rows = new_ds.map_batches(sizes_b, batch_format="pyarrow").take_all()
+    nb_map = {r["id"]: r["n"] for r in nb_rows}
+    sizes_ref = ray.put((na_map, nb_map))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.assign(jac_permille=pd.Series([], dtype=np.int64))
+        na_m, nb_m = ray.get(sizes_ref)
+        na = batch["a"].map(na_m).to_numpy(dtype=np.int64)
+        nb = batch["b"].map(nb_m).to_numpy(dtype=np.int64)
+        i = batch["i"].to_numpy(dtype=np.int64)
+        union = na + nb - i
+        jac = np.floor(1000.0 * i / np.maximum(union, 1)).astype(np.int64)
+        out = batch[["a", "b"]].assign(jac_permille=jac)
+        return out[out["jac_permille"] >= threshold_permille]
+
+    return inter.map_batches(finish, batch_format="pandas")

@@ -79,3 +79,40 @@ def test_drop_duplicates_by_pairs():
                           "b": pd.Series([], dtype=np.int64)})
     out2 = dedup.drop_duplicates_by_pairs(docs, empty).to_pandas()
     assert sorted(out2["doc_id"]) == [1, 2, 3, 5, 7, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_matches_full_generator(tmp_path):
+    """ngram_pairs_vs_index over (indexed corpus, new batch) must equal
+    ngram_jaccard_pairs over corpus+batch restricted to cross pairs."""
+    import ray.data as rd
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=12))
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    # plant near-dups crossing the corpus/batch split (batch = id%5==0)
+    for a, b in [(1, 5), (2, 10), (7, 15), (3, 4)]:  # (3,4) same side
+        w = docs[a]["text"].split()
+        w[-1] = "zz"
+        docs[b]["text"] = " ".join(w)
+    ds = rd.from_items(docs)
+
+    full = dedup.ngram_jaccard_pairs(ds, threshold_permille=400).to_pandas()
+    want = {(min(a, b), max(a, b), j) for a, b, j in
+            zip(full["a"], full["b"], full["jac_permille"])
+            if (a % 5 == 0) != (b % 5 == 0)}
+    assert want, "fixture must plant cross-split near-dups"
+
+    corpus = ds.filter(lambda r: r["doc_id"] % 5 != 0)
+    batch = ds.filter(lambda r: r["doc_id"] % 5 == 0)
+    idx = str(tmp_path / "gram_index")
+    dedup.build_gram_index(corpus, idx)
+    got_df = dedup.ngram_pairs_vs_index(idx, batch,
+                                        threshold_permille=400).to_pandas()
+    got = {(min(a, b), max(a, b), j) for a, b, j in
+           zip(got_df["a"], got_df["b"], got_df["jac_permille"])}
+    assert got == want
+    # a-side is always corpus, b-side always batch
+    assert (got_df["a"] % 5 != 0).all() and (got_df["b"] % 5 == 0).all()

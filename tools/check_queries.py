@@ -55,7 +55,9 @@ def _reap_scratch(base_dir: str) -> float:
     under the fixture dir is rebuilt by whichever query needs it.
     Returns GB freed. Opt out with MLRAY_KEEP_SCRATCH=1."""
     import shutil
-    keep = {"table", "follow-incoming"}
+    # cached INDEX builds (ivf_index, gram_index) also survive: they are
+    # inputs, deterministic per scale, and expensive to rebuild per query
+    keep = {"table", "follow-incoming", "ivf_index", "gram_index"}
     freed = 0
     if not os.path.isdir(base_dir):
         return 0.0
