@@ -1151,7 +1151,15 @@ def ann_ivf(sf_dir: str):
 # ------------------------------------------------------------------ registry
 
 def queries():
+    # Ordering contract (round-5): every oracle-bearing query (full
+    # value-hash compare) comes BEFORE every rows-only approximate one,
+    # and the most expensive engine-side queries sit late within their
+    # section — the round-4 driver run recorded exactly the first 50
+    # registry entries, so whatever the cap (count or time), the tail
+    # must only ever hold checks whose loss is the weaker rows-only
+    # kind. Keep any new full-oracle query ABOVE the rows-only block.
     return {
+        # --- full-oracle: maintenance engine ---
         "maint_merge": maint_merge,
         "maint_compact": maint_compact,
         "maint_time_travel": maint_time_travel,
@@ -1169,10 +1177,13 @@ def queries():
         "maint_scan_prune": maint_scan_prune,
         "maint_xact_abort": maint_xact_abort,
         "maint_fullrow": maint_fullrow,
+        # --- full-oracle: multimodal ---
         "img_decode_stats": img_decode_stats,
         "img_phash_check": img_phash_check,
         "img_resize": img_resize,
-        "audio_features": audio_features,
+        # --- full-oracle: ANN (was truncated off the r4 tail) ---
+        "ann_topk": ann_topk,
+        # --- full-oracle: relational / temporal / training prep ---
         "rel_groupby_agg": rel_groupby_agg,
         "rel_filter_project": rel_filter_project,
         "rel_broadcast_join": rel_broadcast_join,
@@ -1187,22 +1198,26 @@ def queries():
         "rel_distinct": rel_distinct,
         "rel_last_event_per_user": rel_last_event_per_user,
         "rel_window_tumbling": rel_window_tumbling,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash": dedup_minhash,
-        "dedup_ngram": dedup_ngram,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "dedup_clusters": dedup_clusters,
-        "dedup_resolve": dedup_resolve,
-        "dedup_incremental": dedup_incremental,
+        # --- full-oracle: text ---
         "text_stats": text_stats,
         "text_fingerprint": text_fingerprint,
         "text_langid": text_langid,
         "text_quality": text_quality,
-        "text_rolling_fp": text_rolling_fp,
         "text_pack_sequences": text_pack_sequences,
-        "ann_topk": ann_topk,
+        # --- full-oracle: dedup (cluster resolution last: priciest) ---
+        "dedup_exact": dedup_exact,
+        "dedup_ngram": dedup_ngram,
+        "dedup_embedding": dedup_embedding,
+        "dedup_incremental": dedup_incremental,
+        "dedup_clusters": dedup_clusters,
+        "dedup_resolve": dedup_resolve,
+        # --- rows-only (approximate by design; pytest holds the
+        # ground-truth proofs) — keep LAST, see ordering contract ---
+        "audio_features": audio_features,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "text_rolling_fp": text_rolling_fp,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_indexed": ann_ivf_indexed,
@@ -1279,12 +1294,15 @@ _REV_C = ("CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) "
 # parameterized: a<b for the standard all-pairs generator, the %5 split
 # for the incremental (batch-vs-indexed-corpus) variant. Extended with a
 # recursive connected-components closure by dedup_clusters/dedup_resolve.
+# grams/scored are MATERIALIZED: without it DuckDB re-inlines the gram
+# self-join at every reference — including inside the recursive closure —
+# which made the cluster oracles ~7x slower for identical results.
 _NGRAM_GRAM_CTES = r"""
             toks AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\s+') AS w
               FROM documents WHERE len(trim(text)) > 0),
-            grams AS (
+            grams AS MATERIALIZED (
               SELECT DISTINCT doc_id,
                      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
               FROM toks, LATERAL UNNEST(generate_series(1, len(w) - 2)) AS t(i)
@@ -1300,7 +1318,7 @@ def _ngram_scored(pair_cond: str) -> str:
               FROM grams x JOIN grams y ON x.g = y.g AND {pair_cond}
               WHERE x.g NOT IN (SELECT g FROM hot)
               GROUP BY 1, 2),
-            scored AS (
+            scored AS MATERIALIZED (
               SELECT a, b,
                      CAST(FLOOR(1000.0 * i / (sa.n + sb.n - i)) AS BIGINT)
                        AS jac_permille
