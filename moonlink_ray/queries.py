@@ -1060,10 +1060,13 @@ def dedup_incremental(sf_dir: str):
         return b.filter(pa.array(_is_batch(b)))
 
     index_dir = os.path.join(DATA_ROOT, _sf_name(sf_dir), "gram_index")
-    if not os.path.exists(os.path.join(index_dir, "gram_manifest.json")):
-        dedup.build_gram_index(
-            docs.map_batches(corpus_part, batch_format="pyarrow"),
-            index_dir)
+    # cache validity is fingerprint-checked, not existence-checked: a
+    # regenerated documents fixture must trigger a rebuild, never be
+    # silently paired with a stale index
+    corpus = docs.map_batches(corpus_part, batch_format="pyarrow")
+    fp = dedup.corpus_fingerprint(corpus)
+    if not dedup.gram_index_valid(index_dir, fp):
+        dedup.build_gram_index(corpus, index_dir, fingerprint=fp)
     new_ds = docs.map_batches(batch_part, batch_format="pyarrow")
     return dedup.ngram_pairs_vs_index(index_dir, new_ds,
                                       threshold_permille=500)

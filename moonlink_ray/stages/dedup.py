@@ -684,9 +684,67 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
 
 # -------------------------------------------- incremental (indexed) dedup
 
+def _explode_grams(batch: pa.Table, id_col: str, text_col: str, k: int,
+                   n_buckets: int) -> pa.Table:
+    """(id, gram-hash, bucket) explosion shared by the index BUILD and
+    the batch PROBE — the stop-gram guard's exactness depends on both
+    sides bucketing grams byte-identically, so this must stay the single
+    copy of that logic."""
+    out_ids, out_g = [], []
+    for rid, text in zip(batch[id_col].to_pylist(),
+                         batch[text_col].to_pylist()):
+        g = gram_hashes(text, k)
+        out_ids.extend([rid] * len(g))
+        out_g.extend(g.astype(np.int64))
+    gb = (np.array(out_g, dtype=np.int64).astype(np.uint64)
+          % n_buckets).astype(np.int64)
+    return pa.table({"id": pa.array(out_ids),
+                     "g": pa.array(out_g, pa.int64()),
+                     "gb": pa.array(gb, pa.int64())})
+
+
+def corpus_fingerprint(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text") -> dict:
+    """Deterministic corpus fingerprint for index-cache validation:
+    row count + id sum + content-hash sum (mod 2^64). One column-pruned
+    pass; per-batch partials are O(1) rows, combined exactly on the
+    driver with arbitrary-precision ints (no int64-overflow wraparound
+    in the exchange)."""
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = stable_hash_strings(batch[text_col]).astype(np.uint64)
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "id_sum": pa.array([int(ids.sum()) % (2 ** 62)],
+                                            pa.int64()),
+                         "th_sum": pa.array([int(th.sum(dtype=np.uint64))
+                                             % (2 ** 62)], pa.int64())})
+
+    parts = ds.map_batches(fp, batch_format="pyarrow").take_all()
+    return {"n": sum(p["n"] for p in parts),
+            "id_sum": sum(p["id_sum"] for p in parts) % (2 ** 64),
+            "th_sum": sum(p["th_sum"] for p in parts) % (2 ** 64)}
+
+
+def gram_index_valid(index_dir: str, fingerprint: dict | None) -> bool:
+    """True iff a complete index manifest exists and (when a fingerprint
+    is supplied) records the same corpus fingerprint — a regenerated
+    fixture must never be silently paired with a stale index."""
+    import json
+    import os
+    path = os.path.join(index_dir, "gram_manifest.json")
+    if not os.path.exists(path):
+        return False
+    if fingerprint is None:
+        return True
+    with open(path) as f:
+        manifest = json.load(f)
+    return manifest.get("fingerprint") == fingerprint
+
+
 def build_gram_index(ds, index_dir: str, *, id_col: str = "doc_id",
                      text_col: str = "text", k: int = 3,
-                     n_buckets: int = _GB_BUCKETS) -> dict:
+                     n_buckets: int = _GB_BUCKETS,
+                     fingerprint: dict | None = None) -> dict:
     """Materialize a corpus's n-gram dedup evidence as a bucketed
     inverted layout: one parquet directory per gram-hash bucket of
     (id, g) rows, a ``sizes.parquet`` sidecar (id, n distinct grams),
@@ -703,22 +761,20 @@ def build_gram_index(ds, index_dir: str, *, id_col: str = "doc_id",
     """
     import json
     import os
+    import shutil
 
-    def explode(batch: pa.Table) -> pa.Table:
-        out_ids, out_g = [], []
-        for rid, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            g = gram_hashes(text, k)
-            out_ids.extend([rid] * len(g))
-            out_g.extend(g.astype(np.int64))
-        gb = (np.array(out_g, dtype=np.int64).astype(np.uint64)
-              % n_buckets).astype(np.int64)
-        return pa.table({"id": pa.array(out_ids),
-                         "g": pa.array(out_g, pa.int64()),
-                         "gb": pa.array(gb, pa.int64())})
+    # Build into a sibling temp dir and rename into place: an
+    # interrupted build can never leave orphan parquet alongside a
+    # later retry's files (which would silently duplicate (id, g) rows
+    # and corrupt intersection counts) — same tmp+replace discipline as
+    # manifest.commit.
+    tmp_dir = index_dir.rstrip("/") + ".building"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
 
-    ds.map_batches(explode, batch_format="pyarrow") \
-        .write_parquet(os.path.join(index_dir, "grams"),
+    ds.map_batches(lambda b: _explode_grams(b, id_col, text_col, k,
+                                            n_buckets),
+                   batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp_dir, "grams"),
                        partition_cols=["gb"])
 
     def sizes(batch: pa.Table) -> pa.Table:
@@ -727,13 +783,15 @@ def build_gram_index(ds, index_dir: str, *, id_col: str = "doc_id",
                          "n": pa.array(n, pa.int64())})
 
     ds.map_batches(sizes, batch_format="pyarrow") \
-        .write_parquet(os.path.join(index_dir, "sizes"))
+        .write_parquet(os.path.join(tmp_dir, "sizes"))
 
     manifest = {"k": k, "n_buckets": int(n_buckets)}
-    tmp = os.path.join(index_dir, "gram_manifest.json.tmp")
-    with open(tmp, "w") as f:
+    if fingerprint is not None:
+        manifest["fingerprint"] = fingerprint
+    with open(os.path.join(tmp_dir, "gram_manifest.json"), "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(index_dir, "gram_manifest.json"))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return manifest
 
 
@@ -766,20 +824,9 @@ def ngram_pairs_vs_index(index_dir: str, new_ds, *, id_col: str = "doc_id",
         manifest = json.load(f)
     k, n_buckets = manifest["k"], manifest["n_buckets"]
 
-    def explode(batch: pa.Table) -> pa.Table:
-        out_ids, out_g = [], []
-        for rid, text in zip(batch[id_col].to_pylist(),
-                             batch[text_col].to_pylist()):
-            g = gram_hashes(text, k)
-            out_ids.extend([rid] * len(g))
-            out_g.extend(g.astype(np.int64))
-        gb = (np.array(out_g, dtype=np.int64).astype(np.uint64)
-              % n_buckets).astype(np.int64)
-        return pa.table({"id": pa.array(out_ids),
-                         "g": pa.array(out_g, pa.int64()),
-                         "gb": pa.array(gb, pa.int64())})
-
-    new_grams = new_ds.map_batches(explode, batch_format="pyarrow")
+    new_grams = new_ds.map_batches(
+        lambda b: _explode_grams(b, id_col, text_col, k, n_buckets),
+        batch_format="pyarrow")
 
     def probe_bucket(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": group["id"].iloc[:0],

@@ -116,3 +116,36 @@ def test_incremental_matches_full_generator(tmp_path):
     assert got == want
     # a-side is always corpus, b-side always batch
     assert (got_df["a"] % 5 != 0).all() and (got_df["b"] % 5 == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_index_fingerprint_and_atomic_rebuild(tmp_path):
+    """Cache validity is fingerprint-checked (a regenerated corpus must
+    invalidate), and a rebuild replaces the directory wholesale (orphan
+    files from an interrupted build can never survive into a retry)."""
+    import os
+
+    import ray.data as rd
+    docs = [{"doc_id": i, "text": f"alpha beta gamma delta w{i}"}
+            for i in range(20)]
+    corpus = rd.from_items(docs)
+    idx = str(tmp_path / "gram_index")
+    fp = dedup.corpus_fingerprint(corpus)
+    dedup.build_gram_index(corpus, idx, fingerprint=fp)
+    assert dedup.gram_index_valid(idx, fp)
+    assert dedup.gram_index_valid(idx, None)  # existence-only check
+
+    # regenerated fixture -> different fingerprint -> invalid
+    docs2 = [dict(d, text=d["text"] + " extra") for d in docs]
+    fp2 = dedup.corpus_fingerprint(rd.from_items(docs2))
+    assert fp2 != fp and not dedup.gram_index_valid(idx, fp2)
+
+    # plant an orphan parquet (interrupted-build debris) inside the
+    # index; a rebuild must not inherit it
+    some_bucket = next(p for p in os.listdir(os.path.join(idx, "grams")))
+    orphan = os.path.join(idx, "grams", some_bucket, "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    dedup.build_gram_index(corpus, idx, fingerprint=fp)
+    assert not os.path.exists(orphan)
+    assert dedup.gram_index_valid(idx, fp)
