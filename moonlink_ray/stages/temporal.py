@@ -6,11 +6,14 @@ surface (SURVEY.md §2.10).
 
 - **as-of join**: every left row matched to the most recent right row
   (same key, right.ts <= left.ts). Right side is broadcast via
-  ``ray.put`` (dimension-table sized); the per-batch match is
-  ``pandas.merge_asof(by=key)`` — vectorized binary search, no shuffle.
+  ``ray.put`` (dimension-table sized); the match is a zero-copy Arrow
+  kernel (``_asof_indices``): factorize keys over the union, rank-
+  compress timestamps, ONE ``np.searchsorted`` over a (key, ts)
+  composite — no pandas conversion of the row stream, no shuffle.
   At 10^12 left rows the broadcast side is the small one by
-  construction; a two-big-sides as-of would bucket both sides on key
-  ranges first (same _GB_BUCKETS pattern as dedup).
+  construction; a two-big-sides as-of buckets both sides on key
+  hashes first (``asof_join_bucketed``, same _GB_BUCKETS pattern as
+  dedup) and runs the same kernel once per bucket.
 - **sessionize**: assign gap-based session ids per key. Shuffles once
   on hash(key) % num_buckets, then ONE vectorized pandas callback per
   bucket (sort + diff + cumsum — no per-key Python).
@@ -22,26 +25,103 @@ import numpy as np
 import pandas as pd
 
 
+def _ts_int64(col) -> np.ndarray:
+    """Orderable int64 view of a timestamp/date/numeric Arrow column,
+    normalized to microseconds for temporal types."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    t = col.type
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _asof_indices(code_l: np.ndarray, t_l: np.ndarray,
+                  code_r: np.ndarray, t_r: np.ndarray) -> np.ndarray:
+    """For each left row: index into the RIGHT arrays of the last row
+    with the same key code and ``t_r <= t_l`` (ties -> last in original
+    right order, matching ``pandas.merge_asof``), or -1.
+
+    Fully vectorized: stable-sort right by (code, t, original pos),
+    rank-compress timestamps over the union of both sides, then a
+    single ``searchsorted`` over the ``code * M + rank`` composite —
+    no per-key or per-row Python.
+    """
+    nl, nr = len(code_l), len(code_r)
+    out = np.full(nl, -1, dtype=np.int64)
+    if nl == 0 or nr == 0:
+        return out
+    order = np.lexsort((np.arange(nr), t_r, code_r))
+    cr = code_r[order]
+    tr = t_r[order]
+    uniq = np.unique(np.concatenate([tr, t_l]))
+    rr = np.searchsorted(uniq, tr)
+    rl = np.searchsorted(uniq, t_l)
+    # composite fits int64: codes and ranks are both bounded by the
+    # bucket's row count (rank-compressed), so the product is << 2^63
+    M = np.int64(len(uniq) + 1)
+    pos = np.searchsorted(cr * M + rr, code_l * M + rl, side="right") - 1
+    safe = np.clip(pos, 0, None)
+    valid = (pos >= 0) & (cr[safe] == code_l)
+    out[valid] = order[safe[valid]]
+    return out
+
+
+def _asof_join_tables(lt, rt, *, left_on: str, right_on: str,
+                      by_left: str, by_right: str):
+    """Arrow-native as-of join of two pyarrow Tables: left columns +
+    right columns (right ones NULL when no right row at or before the
+    left row's timestamp). A right column whose name equals the left
+    by-key is dropped (it is equal by construction); any other name
+    collision gets an ``_r`` suffix."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kl = np.asarray(lt[by_left].to_numpy(zero_copy_only=False))
+    kr = np.asarray(rt[by_right].to_numpy(zero_copy_only=False))
+    if rt.num_rows:
+        uniq = np.unique(np.concatenate([kl, kr]))
+        code_l = np.searchsorted(uniq, kl)
+        code_r = np.searchsorted(uniq, kr)
+        idx = _asof_indices(code_l, _ts_int64(lt[left_on]),
+                            code_r, _ts_int64(rt[right_on]))
+    else:
+        idx = np.full(lt.num_rows, -1, dtype=np.int64)
+    take = pa.array(idx, pa.int64(), mask=idx < 0)  # null -> null row
+
+    names = list(lt.column_names)
+    cols = list(lt.columns)
+    left_names = set(names)
+    for rname in rt.column_names:
+        if rname == by_left and by_right == by_left:
+            continue
+        out_name = rname + "_r" if rname in left_names else rname
+        names.append(out_name)
+        cols.append(pc.take(rt[rname], take))
+    return pa.table(cols, names=names)
+
+
 def asof_join(ds, right_ref, *, left_on: str, right_on: str, by_left: str,
               by_right: str, right_cols: list[str]):
-    """Left as-of join against a broadcast right DataFrame.
+    """Left as-of join against a broadcast right table.
 
-    ``right_ref`` is ``ray.put(df)`` where df has columns
-    [by_right, right_on, *right_cols]. Returns left columns +
-    right_cols (NaN/None when no right row precedes the left row).
+    ``right_ref`` is ``ray.put`` of a pandas DataFrame or pyarrow Table
+    with columns [by_right, right_on, *right_cols]. Returns left
+    columns + right columns (null when no right row precedes the left
+    row). The left stream stays zero-copy Arrow end-to-end.
     """
+    import pyarrow as pa
     import ray
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
+    def join(batch: pa.Table) -> pa.Table:
         right = ray.get(right_ref)
-        right = right.sort_values([right_on, by_right], kind="mergesort")
-        b = batch.sort_values([left_on, by_left], kind="mergesort")
-        out = pd.merge_asof(b, right, left_on=left_on, right_on=right_on,
-                            left_by=by_left, right_by=by_right,
-                            suffixes=("", "_r"))
-        return out
+        if not isinstance(right, pa.Table):
+            right = pa.Table.from_pandas(right, preserve_index=False)
+        return _asof_join_tables(batch, right, left_on=left_on,
+                                 right_on=right_on, by_left=by_left,
+                                 by_right=by_right)
 
-    return ds.map_batches(join, batch_format="pandas")
+    return ds.map_batches(join, batch_format="pyarrow")
 
 
 def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
@@ -51,8 +131,8 @@ def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
     """Two-big-sides as-of join: NEITHER side is broadcast or
     driver-materialized. Both sides exchange once on
     ``hash(key) % num_buckets`` (tagged with typed null-fill for the
-    other side's columns, union'ed, grouped), then ONE vectorized
-    ``pandas.merge_asof`` runs per bucket. This is the scale path when
+    other side's columns, union'ed, grouped), then the vectorized
+    Arrow as-of kernel (``_asof_join_tables``) runs once per bucket. This is the scale path when
     the right side is not a dimension table (e.g. events as-of orders,
     both at table scale); per-bucket state is bounded by the bucket's
     share of both sides, and skewed keys can be salted the same way as
@@ -96,33 +176,17 @@ def asof_join_bucketed(left, right, *, left_on: str, right_on: str,
     right_names = list(right_schema.names)
     left_names = list(left_schema.names)
 
-    def _restore(df: pd.DataFrame, schema) -> pd.DataFrame:
-        # after the side filter, own columns are null-free again — undo
-        # the union's null-driven upcasts (int64 -> float64) so the
-        # merge keys match dtypes on both sides
-        import pyarrow as pa
-        for f in schema:
-            if pa.types.is_integer(f.type):
-                df[f.name] = df[f.name].astype(np.int64)
-        return df
+    def join(bucket: pa.Table) -> pa.Table:
+        # the side filter restores null-free typed columns on each
+        # side (tag cast them to their declared schema types), so the
+        # Arrow kernel needs no dtype repair
+        side = bucket["_side"].to_numpy(zero_copy_only=False)
+        l = bucket.filter(pa.array(side == 1)).select(left_names)
+        r = bucket.filter(pa.array(side == 0)).select(right_names)
+        return _asof_join_tables(l, r, left_on=left_on, right_on=right_on,
+                                 by_left=by_left, by_right=by_right)
 
-    def join(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = _restore(bucket.loc[bucket["_side"] == 1, left_names].copy(),
-                     left_schema) \
-            .sort_values([left_on, by_left], kind="mergesort")
-        r = _restore(bucket.loc[bucket["_side"] == 0, right_names].copy(),
-                     right_schema)
-        if len(r) == 0:
-            out = l.copy()
-            for f in right_schema:
-                out[f.name] = pd.Series([None] * len(out), index=out.index)
-            return out
-        r = r.sort_values([right_on, by_right], kind="mergesort")
-        return pd.merge_asof(l, r, left_on=left_on, right_on=right_on,
-                             left_by=by_left, right_by=by_right,
-                             suffixes=("", "_r"))
-
-    return both.groupby("_gb").map_groups(join, batch_format="pandas")
+    return both.groupby("_gb").map_groups(join, batch_format="pyarrow")
 
 
 def sessionize(ds, *, key_col: str, ts_col: str, gap_us: int,

@@ -99,3 +99,35 @@ class TestTemporal:
                          gap_us=1).to_pandas()
         assert len(got) == 50
         assert set(got["session_id"]) == {f"u{i}#0" for i in range(50)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_kernel_tie_semantics_vs_pandas():
+    """The Arrow kernel must match merge_asof exactly on ties: equal
+    timestamps on the right (take the LAST in original order), exact
+    t == rt matches allowed, string keys, and keys missing rights."""
+    import pyarrow as pa
+    from moonlink_ray.stages.temporal import _asof_join_tables
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 150
+    keys = np.array([f"k{i}" for i in range(8)])
+    lt = pa.table({
+        "k": pa.array(rng.choice(keys, n_l)),
+        "t": pa.array(rng.integers(0, 40, n_l), pa.int64())})
+    rt = pa.table({
+        "rk": pa.array(rng.choice(keys[:6], n_r)),   # k6/k7 no rights
+        "rt": pa.array(rng.integers(0, 40, n_r), pa.int64()),
+        "val": pa.array(np.arange(n_r), pa.int64())})
+    got = _asof_join_tables(lt, rt, left_on="t", right_on="rt",
+                            by_left="k", by_right="rk").to_pandas()
+    want = pd.merge_asof(
+        lt.to_pandas().sort_values(["t", "k"], kind="mergesort"),
+        rt.to_pandas().sort_values(["rt", "rk"], kind="mergesort"),
+        left_on="t", right_on="rt", left_by="k", right_by="rk")
+    g = got.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    w = want.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["val"].fillna(-1).to_numpy() ==
+            w["val"].fillna(-1).to_numpy()).all()
+    assert (g["rt"].fillna(-1).to_numpy() ==
+            w["rt"].fillna(-1).to_numpy()).all()
