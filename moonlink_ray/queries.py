@@ -1031,13 +1031,17 @@ def dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: exact n-gram pairs (same generator
     and thresholds as ``dedup_ngram``) resolved into connected
     components — one (doc_id, root) row per clustered doc, root = the
-    smallest doc_id of the component (the canonical survivor)."""
+    smallest doc_id of the component (the canonical survivor).
+    Resolution runs fully distributed (alternating-star exchanges,
+    ``connected_components_ds``): the edge list never touches the
+    driver."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
                                       k=3, threshold_permille=500)
-    cc = dedup.connected_components(pairs)
-    return pa.table({"doc_id": pa.array(cc["node"], pa.int64()),
-                     "root": pa.array(cc["root"], pa.int64())})
+    cc = dedup.connected_components_ds(pairs)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["doc_id", "root"]),
+        batch_format="pyarrow")
 
 
 def dedup_incremental(sf_dir: str):
@@ -1073,10 +1077,11 @@ def dedup_incremental(sf_dir: str):
 
 
 def dedup_resolve(sf_dir: str):
-    """End-to-end dedup: pairs -> connected components -> keep one
-    canonical survivor per cluster, pass every unclustered doc through.
-    Returns the surviving (doc_id, source) rows; the corpus streams —
-    only the O(duplicate docs) drop set is broadcast."""
+    """End-to-end dedup: pairs -> distributed connected components ->
+    keep one canonical survivor per cluster, pass every unclustered doc
+    through. Returns the surviving (doc_id, source) rows; the corpus
+    streams through a hash-sharded anti-join against the drop set (no
+    driver collect, no broadcast — see drop_duplicates_by_pairs)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
                                       k=3, threshold_permille=500)

@@ -149,3 +149,89 @@ def test_gram_index_fingerprint_and_atomic_rebuild(tmp_path):
     dedup.build_gram_index(corpus, idx, fingerprint=fp)
     assert not os.path.exists(orphan)
     assert dedup.gram_index_valid(idx, fp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCC:
+    """connected_components_ds: the alternating-star exchange variant.
+    Must equal union-find everywhere the driver-fold variant does,
+    while keeping the edge list distributed (driver sees only the
+    convergence signature scalars)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_union_find_random(self, seed):
+        import ray.data as rd
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 300))
+        m = int(rng.integers(1, 3 * n))
+        ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+        ea, eb = rng.choice(ids, size=m), rng.choice(ids, size=m)
+        keep = ea != eb
+        pairs = pd.DataFrame({"a": ea[keep], "b": eb[keep]})
+        if not len(pairs):
+            pytest.skip("degenerate draw")
+        got = dedup.connected_components_ds(rd.from_pandas(pairs)) \
+            .to_pandas()
+        nodes = np.unique(np.concatenate([pairs["a"], pairs["b"]]))
+        want = _union_find_roots(list(zip(pairs["a"], pairs["b"])), nodes)
+        assert dict(zip(got["node"], got["root"])) == want
+
+    def test_giant_component_with_chain(self):
+        # one giant component (a 1500-node chain threaded through a
+        # 300-clique-ish hub) plus satellites: the worst convergence
+        # shape for naive propagation; star rounds must collapse it in
+        # O(log n) exchanges and agree with the driver-fold kernel
+        import ray.data as rd
+        n = 1500
+        a = np.arange(n - 1, dtype=np.int64)
+        b = np.arange(1, n, dtype=np.int64)
+        hub_a = np.full(300, 17, dtype=np.int64)
+        hub_b = np.arange(2000, 2300, dtype=np.int64)
+        sat_a = np.array([5000, 5002], dtype=np.int64)
+        sat_b = np.array([5001, 5003], dtype=np.int64)
+        pairs = pd.DataFrame({"a": np.concatenate([a, hub_a, sat_a]),
+                              "b": np.concatenate([b, hub_b, sat_b])})
+        got = dedup.connected_components_ds(rd.from_pandas(pairs),
+                                            num_buckets=8).to_pandas()
+        ref = dedup.connected_components(pairs)
+        assert dict(zip(got["node"], got["root"])) == \
+            dict(zip(ref["node"], ref["root"]))
+        giant = got[got["node"] < 2300]
+        assert (giant["root"] == 0).all()
+
+    def test_empty_pairs(self):
+        import ray.data as rd
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+        got = dedup.connected_components_ds(rd.from_pandas(empty))
+        assert got.count() == 0
+        assert set(got.schema().names) == {"node", "root"}
+
+    def test_drop_duplicates_sharded_anti_join(self, tmp_path):
+        import ray.data as rd
+        # clusters {1,2,3} and {7,9}; 5 untouched — same fixture as the
+        # broadcast-era test, now through the sharded drop path
+        pairs = pd.DataFrame({"a": [1, 2, 7], "b": [2, 3, 9]})
+        docs = rd.from_items([{"doc_id": i, "source": f"s{i}"}
+                              for i in [1, 2, 3, 5, 7, 9]])
+        out = dedup.drop_duplicates_by_pairs(
+            docs, rd.from_pandas(pairs),
+            scratch_dir=str(tmp_path)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 5, 7]
+        # drop set landed as hash-sharded parquet, not a broadcast
+        import os
+        shards = os.listdir(str(tmp_path / "drops"))
+        assert shards and all(s.startswith("shard=") for s in shards)
+
+    def test_driver_state_is_scalar(self):
+        # the convergence loop's only driver-side artifact is the
+        # (count, hashsum) signature — assert the helper returns plain
+        # scalars for a non-trivial edge set
+        import ray.data as rd
+        pairs = pd.DataFrame({"a": np.arange(0, 200, dtype=np.int64),
+                              "b": np.arange(1, 201, dtype=np.int64)})
+        ds = rd.from_pandas(pairs).map_batches(
+            lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow")
+        sig = dedup._edge_sig(ds)
+        assert isinstance(sig, tuple) and len(sig) == 2
+        assert all(isinstance(x, int) for x in sig)
