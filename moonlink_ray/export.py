@@ -121,23 +121,28 @@ def _stats_json(rows: int, stats: dict[str, list]) -> str:
     return json.dumps(d)
 
 
-def _is_clean(rootfs, frag: FragmentMeta, schema_list: list) -> bool:
-    """Hardlinkable as-is: the physical file's live rows under the
-    active schema are exactly its bytes — no DV, no adopted-file span
-    (several fragments share that file), no schema drift (pre-ALTER
-    file, hidden ``_rowhash`` / CDC bookkeeping columns). The compare is
-    over full (name, type) pairs: an ALTER drop + re-add of a name with
-    a different type leaves names identical while the physical parquet
-    type diverges from the published schemaString, so names alone would
-    hardlink a mistyped file."""
-    if frag.dv or frag.rg_span or frag.rows == 0:
-        return False
+def _schema_clean(rootfs, frag: FragmentMeta, schema_list: list) -> bool:
+    """The physical file's schema matches the active schema exactly.
+    The compare is over full (name, type) pairs: an ALTER drop + re-add
+    of a name with a different type leaves names identical while the
+    physical parquet type diverges from the published schemaString, so
+    names alone would hardlink a mistyped file."""
     from .schema import schema_to_list
     try:
         return schema_to_list(rootfs.parquet_schema(frag.path)) == \
             [list(p) for p in schema_list]
     except ValueError:
         return False  # file holds a type outside the engine vocabulary
+
+
+def _is_clean(rootfs, frag: FragmentMeta, schema_list: list) -> bool:
+    """Hardlinkable as-is: the physical file's live rows under the
+    active schema are exactly its bytes — no DV, no adopted-file span
+    (several fragments share that file), no schema drift (pre-ALTER
+    file, hidden ``_rowhash`` / CDC bookkeeping columns)."""
+    if frag.dv or frag.rg_span or frag.rows == 0:
+        return False
+    return _schema_clean(rootfs, frag, schema_list)
 
 
 def _export_rel(frag: FragmentMeta, schema_list: list,
@@ -202,25 +207,46 @@ class _RewriteLive:
 
 def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
                  schema_list: list, now_ms: int,
-                 skip_rels: frozenset = frozenset()) -> tuple[list, int]:
+                 skip_rels: frozenset = frozenset(),
+                 dv_puffin: bool = False) -> tuple[list, int, list]:
     """Write the data files for ``fragments`` into ``dest`` (hardlink
     clean ones, rewrite live rows of the rest fragment-parallel),
     skipping targets already present from an earlier export. Returns
-    (add actions, hardlinked count)."""
+    (add actions, hardlinked count, dv_pairs).
+
+    With ``dv_puffin`` (Iceberg export), a fragment whose ONLY
+    dirtiness is a deletion vector (schema clean, no adopted-file span)
+    is hardlinked AS-IS under its clean name and returned in
+    ``dv_pairs`` — the caller serializes the DV as a puffin blob
+    instead of rewriting live rows (moonlink's O(bitmap) export,
+    iceberg_table_syncer.rs:93-172), so a heavily-deleted snapshot
+    moves metadata + bitmap bytes, not payload. ``dv_pairs`` lists
+    EVERY dv-preserved fragment including skip_rels carry-overs: the
+    snapshot tree is rewritten wholesale each sync and needs all delete
+    entries."""
     import ray.data as rd
 
     rootfs, destfs = for_root(root), for_root(dest)
     adds: list[dict] = []
     clean_pairs: list[tuple[FragmentMeta, str]] = []
     dirty: list[tuple[FragmentMeta, str]] = []
+    dv_pairs: list[tuple[FragmentMeta, str]] = []
     for f in fragments:
         if f.live_rows == 0:
             continue
         clean = _is_clean(rootfs, f, schema_list)
-        rel = _export_rel(f, schema_list, clean)
+        dv_only = (dv_puffin and not clean and bool(f.dv)
+                   and not f.rg_span and f.rows > 0
+                   and _schema_clean(rootfs, f, schema_list))
+        # a dv-preserved fragment's exported bytes ARE the raw fragment
+        # file, so it carries the clean name (sync then detects
+        # "payload unchanged" by name; only the puffin re-keys)
+        rel = _export_rel(f, schema_list, clean or dv_only)
+        if dv_only:
+            dv_pairs.append((f, rel))
         if rel in skip_rels:
             continue
-        (clean_pairs if clean else dirty).append((f, rel))
+        (clean_pairs if clean or dv_only else dirty).append((f, rel))
     # clean fragments: metadata-only adopt (hardlink on a shared local
     # device, else a streamed copy through the SOURCE root's own
     # backend — object-store table roots work too). A driver loop below
@@ -260,7 +286,7 @@ def _materialize(root: str, dest: str, fragments: list[FragmentMeta],
                          "partitionValues": {}, "size": row["size"],
                          "modificationTime": now_ms, "dataChange": True,
                          "stats": row["stats"]})
-    return adds, n_hard
+    return adds, n_hard, dv_pairs
 
 
 def _metadata_action(table_id: str, schema_list: list, now_ms: int) -> dict:
@@ -308,7 +334,7 @@ def export_delta(root: str, dest: str, version: int | None = None, *,
     destfs.makedirs(DELTA_LOG_DIR)
 
     now_ms = int(time.time() * 1000)
-    adds, n_hard = _materialize(root, dest, snap.fragments, schema_list,
+    adds, n_hard, _ = _materialize(root, dest, snap.fragments, schema_list,
                                 now_ms)
     table_id = str(uuid.uuid5(uuid.NAMESPACE_URL,
                               f"moonlink_ray:{rootfs.full()}:v{snap.version}"))
@@ -381,7 +407,7 @@ def sync_delta(root: str, dest: str, version: int | None = None) -> dict:
         expected[urllib.parse.quote(rel)] = f
     removes = sorted(set(live) - set(expected))
     now_ms = int(time.time() * 1000)
-    adds, n_hard = _materialize(
+    adds, n_hard, _ = _materialize(
         root, dest, list(snap.fragments), schema_list, now_ms,
         skip_rels=frozenset(urllib.parse.unquote(p) for p in live))
     schema_str = _delta_schema_string(schema_list)

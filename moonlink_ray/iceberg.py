@@ -160,6 +160,33 @@ MANIFEST_ENTRY_SCHEMA = {
         _f(2, "data_file", DATA_FILE_SCHEMA),
     ]}
 
+# delete-manifest entries: puffin deletion vectors recorded as position
+# deletes referencing their data file, with the spec's reserved DV
+# field ids (referenced_data_file=143, content_offset=144,
+# content_size_in_bytes=145) — the layout moonlink persists per DV'd
+# fragment (one blob per puffin, iceberg_table_syncer.rs:93-172)
+DELETE_FILE_SCHEMA = {
+    "type": "record", "name": "r2", "fields": [
+        _f(134, "content", "int"),
+        _f(100, "file_path", "string"),
+        _f(101, "file_format", "string"),
+        _f(102, "partition", _PARTITION_RECORD),
+        _f(103, "record_count", "long"),
+        _f(104, "file_size_in_bytes", "long"),
+        _f(143, "referenced_data_file", "string", required=False),
+        _f(144, "content_offset", "long", required=False),
+        _f(145, "content_size_in_bytes", "long", required=False),
+    ]}
+
+DELETE_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        _f(0, "status", "int"),
+        _f(1, "snapshot_id", "long", required=False),
+        _f(3, "sequence_number", "long", required=False),
+        _f(4, "file_sequence_number", "long", required=False),
+        _f(2, "data_file", DELETE_FILE_SCHEMA),
+    ]}
+
 MANIFEST_FILE_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
         _f(500, "manifest_path", "string"),
@@ -258,9 +285,54 @@ def _adds_to_info(adds: list[dict]) -> list[dict]:
              "size": a["size"]} for a in adds]
 
 
+def _dv_puffin_rel(frag, data_rel: str) -> str:
+    """Content-keyed puffin name: a fragment's DV blob re-keys when its
+    DV sidecar changes, so incremental sync carries unchanged DVs over
+    by name with zero IO (same story as _export_rel for payloads)."""
+    import hashlib
+    tag = hashlib.md5(json.dumps(
+        [frag.dv["path"], frag.dv["count"], data_rel]).encode()
+    ).hexdigest()[:10]
+    return f"metadata/dv-{frag.fragment_id}-{tag}.puffin"
+
+
+def _write_dv_puffins(root: str, destfs, dv_pairs: list) -> list[dict]:
+    """Serialize each dv-preserved fragment's deletion vector as a
+    one-blob puffin file (skipping content-keyed names already present
+    from an earlier sync) and return the delete-manifest bookkeeping.
+    Bytes moved are O(bitmap) per DV'd fragment — never payload."""
+    from .fragments import read_dv
+    from .puffin import write_dv_puffin
+
+    rootfs = for_root(root)
+    infos = []
+    for frag, data_rel in dv_pairs:
+        rel = _dv_puffin_rel(frag, data_rel)
+        full = destfs.full(rel)
+        if destfs.exists(rel):
+            from .puffin import read_puffin
+            blob_meta = read_puffin(destfs.read_bytes(rel))[0][1]
+            infos.append({"puffin_rel": rel, "size": destfs.size(rel),
+                          "data_rel": data_rel,
+                          "content_offset": blob_meta["offset"],
+                          "content_size_in_bytes": blob_meta["length"],
+                          "cardinality": int(
+                              blob_meta["properties"]["cardinality"])})
+            continue
+        positions = read_dv(root, frag.dv).astype("uint64")
+        data, info = write_dv_puffin(
+            positions, referenced_data_file=destfs.full(data_rel),
+            max_rows=frag.rows)
+        destfs.write_bytes_atomic(rel, data)
+        infos.append({"puffin_rel": rel, "size": len(data),
+                      "data_rel": data_rel, **info})
+    return infos
+
+
 def _write_snapshot_tree(destfs, schema_list: list, files_info: list[dict],
                          snapshot_id: int, seq: int,
-                         parent_id: int | None = None):
+                         parent_id: int | None = None,
+                         dv_infos: list[dict] = ()):
     """Write the sharded manifests + manifest list for one snapshot's
     FULL file set; returns (manifest-list rel name, manifest count,
     total rows). Every entry is written status=ADDED under this
@@ -303,6 +375,39 @@ def _write_snapshot_tree(destfs, schema_list: list, files_info: list[dict],
             "existing_files_count": 0, "deleted_files_count": 0,
             "added_rows_count": rows,
             "existing_rows_count": 0, "deleted_rows_count": 0})
+    if dv_infos:
+        entries = [{
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None, "file_sequence_number": None,
+            "data_file": {
+                "content": 1,          # position deletes (puffin DV)
+                "file_path": destfs.full(d["puffin_rel"]),
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": d["cardinality"],
+                "file_size_in_bytes": d["size"],
+                "referenced_data_file": destfs.full(d["data_rel"]),
+                "content_offset": d["content_offset"],
+                "content_size_in_bytes": d["content_size_in_bytes"],
+            }} for d in sorted(dv_infos, key=lambda x: x["puffin_rel"])]
+        name = f"metadata/manifest-{snapshot_id}-deletes.avro"
+        blob = write_avro_ocf(
+            DELETE_MANIFEST_ENTRY_SCHEMA, entries,
+            {"schema": json.dumps(_iceberg_schema(schema_list)),
+             "schema-id": "0", "partition-spec": "[]",
+             "partition-spec-id": "0", "format-version": "2",
+             "content": "deletes"})
+        destfs.write_bytes_atomic(name, blob)
+        manifest_files.append({
+            "manifest_path": destfs.full(name),
+            "manifest_length": len(blob),
+            "partition_spec_id": 0, "content": 1,
+            "sequence_number": seq, "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0, "deleted_files_count": 0,
+            "added_rows_count": sum(d["cardinality"] for d in dv_infos),
+            "existing_rows_count": 0, "deleted_rows_count": 0})
     mlist_name = f"metadata/snap-{snapshot_id}-{seq}.avro"
     destfs.write_bytes_atomic(mlist_name, write_avro_ocf(
         MANIFEST_FILE_SCHEMA, manifest_files,
@@ -313,13 +418,22 @@ def _write_snapshot_tree(destfs, schema_list: list, files_info: list[dict],
 
 
 def export_iceberg(root: str, dest: str, version: int | None = None, *,
-                   at_lsn: int | None = None) -> dict:
+                   at_lsn: int | None = None,
+                   dv_mode: str = "puffin") -> dict:
     """Export one committed snapshot as an Iceberg v2 table at ``dest``
     (file-catalog layout: ``metadata/v1.metadata.json`` +
     ``version-hint.text``). Data files are shared with the Delta
-    export's materialization (hardlink clean / rewrite dirty), so a
-    dest already holding a Delta export of the SAME snapshot gains the
-    Iceberg metadata without moving a byte."""
+    export's materialization (hardlink clean / rewrite dirty).
+
+    ``dv_mode="puffin"`` (default, the reference's behavior —
+    iceberg_table_syncer.rs:93-172 + deletion_vector.rs:87-160): a
+    fragment dirty ONLY by its deletion vector is hardlinked as-is and
+    its DV serialized as a puffin deletion-vector blob referenced from
+    a delete manifest — a heavily-deleted snapshot exports in
+    O(metadata + bitmap) bytes instead of rewriting live payload.
+    ``dv_mode="rewrite"`` restores the round-4 materialize-away
+    behavior (every reader sees plain parquet, no delete support
+    needed)."""
     from .export import _materialize, _resolve_version
     from .schema import schema_to_list, table_schema
 
@@ -333,13 +447,16 @@ def export_iceberg(root: str, dest: str, version: int | None = None, *,
     destfs.makedirs("metadata")
 
     now_ms = int(time.time() * 1000)
-    adds, n_hard = _materialize(root, dest, snap.fragments, schema_list,
-                                now_ms)
+    adds, n_hard, dv_pairs = _materialize(
+        root, dest, snap.fragments, schema_list, now_ms,
+        dv_puffin=(dv_mode == "puffin"))
+    dv_infos = _write_dv_puffins(root, destfs, dv_pairs)
     snapshot_id = _snapshot_id(rootfs.full(), snap.version)
     seq = 1
     files_info = _adds_to_info(adds)
     mlist_name, n_manifests, total_rows = _write_snapshot_tree(
-        destfs, schema_list, files_info, snapshot_id, seq)
+        destfs, schema_list, files_info, snapshot_id, seq,
+        dv_infos=dv_infos)
 
     # ---- table metadata + version hint
     schema_json = _iceberg_schema(schema_list)
@@ -386,6 +503,7 @@ def export_iceberg(root: str, dest: str, version: int | None = None, *,
             "snapshot_id": snapshot_id,
             "files": len(adds), "hardlinked": n_hard,
             "rewritten": len(adds) - n_hard,
+            "dv_puffins": len(dv_infos),
             "manifests": n_manifests, "rows": total_rows}
 
 
@@ -421,12 +539,22 @@ def sync_iceberg(root: str, dest: str, version: int | None = None) -> dict:
     meta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
     base = destfs.full()
 
-    # live file info from the current snapshot's manifests
+    # live DATA file info from the current snapshot's manifests; delete
+    # manifests (content=1, puffin DVs) are regenerated wholesale each
+    # sync from the source snapshot's DV state, so they are skipped here
     cur = next(s for s in meta["snapshots"]
                if s["snapshot-id"] == meta["current-snapshot-id"])
     live: dict[str, dict] = {}
+    old_dv_rels: set[str] = set()
     for m in read_avro_ocf(destfs.read_bytes(
             os.path.relpath(cur["manifest-list"], base))):
+        if m.get("content") == 1:
+            for e in read_avro_ocf(destfs.read_bytes(
+                    os.path.relpath(m["manifest_path"], base))):
+                if e["status"] != 2:
+                    old_dv_rels.add(os.path.relpath(
+                        e["data_file"]["file_path"], base))
+            continue
         for e in read_avro_ocf(destfs.read_bytes(
                 os.path.relpath(m["manifest_path"], base))):
             if e["status"] != 2:
@@ -435,22 +563,27 @@ def sync_iceberg(root: str, dest: str, version: int | None = None) -> dict:
                 live[rel] = {"rel": rel, "rows": df["record_count"],
                              "size": df["file_size_in_bytes"]}
 
-    expected_rels = set()
+    now_ms = int(time.time() * 1000)
+    adds, n_hard, dv_pairs = _materialize(
+        root, dest, list(snap.fragments), schema_list, now_ms,
+        skip_rels=frozenset(live), dv_puffin=True)
+    dv_infos = _write_dv_puffins(root, destfs, dv_pairs)
+    dv_rels = {rel for _, rel in dv_pairs}
+
+    dv_frag_ids = {f.fragment_id for f, _ in dv_pairs}
+    expected_rels = set(dv_rels)      # dv-preserved files keep clean names
     for f in snap.fragments:
-        if f.live_rows == 0:
+        if f.live_rows == 0 or f.fragment_id in dv_frag_ids:
             continue
         expected_rels.add(_export_rel(f, schema_list,
                                       _is_clean(rootfs, f, schema_list)))
     removed = sorted(set(live) - expected_rels)
-    now_ms = int(time.time() * 1000)
-    adds, n_hard = _materialize(root, dest, list(snap.fragments),
-                                schema_list, now_ms,
-                                skip_rels=frozenset(live))
     schema_json = _iceberg_schema(schema_list)
     schema_json_lc = schema_json.pop("last-column-id")
     cur_schema = meta["schemas"][meta["current-schema-id"]]
     schema_changed = schema_json["fields"] != cur_schema["fields"]
-    if not adds and not removed and not schema_changed:
+    dv_changed = old_dv_rels != {d["puffin_rel"] for d in dv_infos}
+    if not adds and not removed and not schema_changed and not dv_changed:
         return {"dest": base, "iceberg_version": v, "noop": True,
                 "source_version": snap.version, "files": len(live),
                 "added": 0, "removed": 0}
@@ -461,7 +594,7 @@ def sync_iceberg(root: str, dest: str, version: int | None = None) -> dict:
     seq = meta["last-sequence-number"] + 1
     mlist_name, n_manifests, total_rows = _write_snapshot_tree(
         destfs, schema_list, files_info, snapshot_id, seq,
-        parent_id=meta["current-snapshot-id"])
+        parent_id=meta["current-snapshot-id"], dv_infos=dv_infos)
 
     if schema_changed:
         sid = len(meta["schemas"])
@@ -501,14 +634,20 @@ def sync_iceberg(root: str, dest: str, version: int | None = None) -> dict:
             "source_version": snap.version, "snapshot_id": snapshot_id,
             "files": len(files_info), "added": len(adds),
             "removed": len(removed), "hardlinked": n_hard,
+            "dv_puffins": len(dv_infos),
             "manifests": n_manifests, "rows": total_rows}
 
 
-def iceberg_active_files(dest: str) -> list[str]:
-    """Plan the current snapshot's data files from the metadata tree
-    alone (hint -> metadata.json -> manifest list -> manifests) using
-    this module's own decoder — the engine-side consumer. The pytest
-    verification uses an independent decoder instead."""
+def iceberg_scan_plan(dest: str) -> list[dict]:
+    """Plan the current snapshot from the metadata tree alone (hint ->
+    metadata.json -> manifest list -> manifests) using this module's
+    own decoders — the engine-side consumer (the pytest verification
+    uses independent decoders instead). Returns one row per data file:
+    ``{"path", "rows", "dv": None | {"puffin", "offset", "length",
+    "cardinality"}}`` — delete manifests (content=1) attach their
+    puffin deletion-vector refs to the data file they reference, the
+    ``RowSelection`` handoff moonlink's DataFusion provider performs
+    (table_provider.rs:99-140)."""
     destfs = for_root(dest)
     v = destfs.read_text("metadata/version-hint.text").strip()
     meta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
@@ -519,13 +658,71 @@ def iceberg_active_files(dest: str) -> list[str]:
     def rel_of(p: str) -> str:
         return os.path.relpath(p, base)
 
-    files: list[str] = []
+    plan: dict[str, dict] = {}
+    dvs: list[dict] = []
     for m in read_avro_ocf(destfs.read_bytes(rel_of(snap["manifest-list"]))):
+        is_delete = m.get("content") == 1
         for e in read_avro_ocf(destfs.read_bytes(
                 rel_of(m["manifest_path"]))):
-            if e["status"] != 2:        # 2 = DELETED
-                files.append(e["data_file"]["file_path"])
-    return sorted(files)
+            if e["status"] == 2:        # 2 = DELETED
+                continue
+            df = e["data_file"]
+            if is_delete:
+                dvs.append(df)
+            else:
+                plan[df["file_path"]] = {"path": df["file_path"],
+                                         "rows": df["record_count"],
+                                         "dv": None}
+    for df in dvs:
+        target = plan.get(df["referenced_data_file"])
+        if target is not None:
+            target["dv"] = {"puffin": df["file_path"],
+                            "offset": df["content_offset"],
+                            "length": df["content_size_in_bytes"],
+                            "cardinality": df["record_count"]}
+    return [plan[k] for k in sorted(plan)]
+
+
+def iceberg_active_files(dest: str) -> list[str]:
+    """Current snapshot's data-file paths (no DV info — callers that
+    must honor deletion vectors use ``iceberg_scan_plan`` /
+    ``read_iceberg_table``)."""
+    return [p["path"] for p in iceberg_scan_plan(dest)]
+
+
+def read_iceberg_table(dest: str, columns: list[str] | None = None):
+    """Read the current snapshot back as a Ray Dataset, applying puffin
+    deletion vectors as row masks inside the per-file read tasks — the
+    positions never route through the driver (each task decodes its own
+    blob)."""
+    import ray.data as rd
+
+    plan = iceberg_scan_plan(dest)
+    items = [{"path": p["path"],
+              "puffin": p["dv"]["puffin"] if p["dv"] else ""}
+             for p in plan]
+
+    def read_one(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .puffin import read_dv_puffin
+        tables = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"], columns=columns)
+            if row["puffin"]:
+                with open(row["puffin"], "rb") as f:
+                    positions = read_dv_puffin(f.read())[row["path"]]
+                mask = np.ones(t.num_rows, dtype=bool)
+                mask[positions.astype(np.int64)] = False
+                t = t.filter(pa.array(mask))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    import pyarrow as pa  # noqa: F811 — local alias for the closure
+    return rd.from_items(items, override_num_blocks=max(1, len(items))) \
+        .map_batches(read_one, batch_format="pyarrow")
 
 
 # ----------------------------------------------------- decoder (reader)

@@ -301,18 +301,18 @@ def maint_export_delta(sf_dir: str):
 def maint_export_iceberg(sf_dir: str):
     """Second interop export: MERGE the CDC batch, export the snapshot
     as an Iceberg v2 table (hand-written Avro manifests + metadata
-    JSON), replan the file list from the metadata tree alone and read
-    it back — same _MERGED_SQL oracle as maint_merge."""
-    import ray.data as rd
-
-    from .iceberg import export_iceberg, iceberg_active_files
+    JSON, deletion vectors preserved as puffin blobs instead of
+    rewriting live rows), replan from the metadata tree alone and read
+    it back applying the DVs — same _MERGED_SQL oracle as maint_merge,
+    which therefore proves the puffin round-trip end-to-end."""
+    from .iceberg import export_iceberg, read_iceberg_table
     fix = ensure_images_fixture(sf_dir)
     root = _fresh_copy(fix, "expiceberg")
     merge(root, fix["cdc"])
     dest = os.path.join(DATA_ROOT, _sf_name(sf_dir), "iceberg-export")
     shutil.rmtree(dest, ignore_errors=True)
     export_iceberg(root, dest)
-    return rd.read_parquet(iceberg_active_files(dest)).map_batches(
+    return read_iceberg_table(dest).map_batches(
         _digest_bytes, batch_format="pyarrow", batch_size=None)
 
 

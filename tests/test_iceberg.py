@@ -82,6 +82,129 @@ def independent_read_ocf(blob: bytes):
     return meta, records
 
 
+# ---------------------------------------------------------------------
+# independent spec-derived puffin / roaring / crc32c decoders (NOT
+# importing moonlink_ray.puffin): bitwise crc (no table), explicit
+# container walks.
+
+def _ind_crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def _ind_roaring32(data: bytes, base: int):
+    import struct
+    cookie, n = struct.unpack_from("<II", data, base)
+    assert cookie == 12346, "expected no-run-container roaring layout"
+    pos = base + 8
+    keys, cards = [], []
+    for _ in range(n):
+        k, cm1 = struct.unpack_from("<HH", data, pos)
+        keys.append(k)
+        cards.append(cm1 + 1)
+        pos += 4
+    offs = struct.unpack_from(f"<{n}I", data, pos)
+    pos += 4 * n
+    values = []
+    end = pos
+    for k, c, off in zip(keys, cards, offs):
+        p = base + off
+        if c <= 4096:
+            vals = struct.unpack_from(f"<{c}H", data, p)
+            end = max(end, p + 2 * c)
+        else:
+            vals = []
+            for w in range(1024):
+                word = struct.unpack_from("<Q", data, p + 8 * w)[0]
+                for bit in range(64):
+                    if word >> bit & 1:
+                        vals.append(64 * w + bit)
+            end = max(end, p + 8192)
+        values.extend((k << 16) | v for v in vals)
+    return values, end
+
+
+def _ind_dv_positions(puffin_path: str) -> dict:
+    """{referenced data file -> set of deleted positions} decoded from
+    a puffin file, verifying every framing layer (puffin magic/footer,
+    blob length prefix, DV magic, crc32c, treemap)."""
+    import struct
+    data = open(puffin_path, "rb").read()
+    assert data[:4] == b"PFA1" and data[-4:] == b"PFA1"
+    size, flags = struct.unpack_from("<II", data, len(data) - 12)
+    assert flags == 0
+    start = len(data) - 12 - size
+    assert data[start - 4:start] == b"PFA1"
+    footer = json.loads(data[start:start + size])
+    out = {}
+    for b in footer["blobs"]:
+        assert b["type"] == "deletion-vector-v1"
+        blob = data[b["offset"]:b["offset"] + b["length"]]
+        (n,) = struct.unpack_from(">I", blob, 0)
+        assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
+        (crc,) = struct.unpack_from(">I", blob, 4 + n)
+        assert crc == _ind_crc32c(blob[4:4 + n]), "crc32c mismatch"
+        (n_maps,) = struct.unpack_from("<Q", blob, 8)
+        pos, positions = 16, []
+        for _ in range(n_maps):
+            (hi,) = struct.unpack_from("<I", blob, pos)
+            vals, end = _ind_roaring32(blob, pos + 4)
+            positions.extend((hi << 32) | v for v in vals)
+            pos = end
+        ref = b["properties"]["referenced-data-file"]
+        assert int(b["properties"]["cardinality"]) == len(positions)
+        out[ref] = set(positions)
+    return out
+
+
+def _ind_read_with_dvs(dest: str, cols: list[str]):
+    """Independent read of the current Iceberg snapshot: walk the
+    metadata tree with the independent Avro decoder, apply puffin DVs
+    (independent decoder) as row-number exclusions on a per-file DuckDB
+    read. Returns an Arrow table."""
+    import pyarrow as pa
+    hint = open(os.path.join(dest, "metadata/version-hint.text")).read()
+    meta = json.load(open(os.path.join(
+        dest, f"metadata/v{hint.strip()}.metadata.json")))
+    cur = next(s for s in meta["snapshots"]
+               if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests = independent_read_ocf(
+        open(cur["manifest-list"], "rb").read())
+    data_files, dv_by_ref = [], {}
+    for m in manifests:
+        _, entries = independent_read_ocf(
+            open(m["manifest_path"], "rb").read())
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df = e["data_file"]
+            if m["content"] == 1:
+                assert df["file_format"] == "PUFFIN"
+                dv_by_ref.update(_ind_dv_positions(df["file_path"]))
+            else:
+                data_files.append(df["file_path"])
+    con = duckdb.connect()
+    parts = []
+    collist = ", ".join(cols)
+    for p in sorted(data_files):
+        t = con.execute(
+            f"SELECT {collist}, file_row_number AS _rn "
+            f"FROM read_parquet(?, file_row_number=true)",
+            [p]).fetch_arrow_table()
+        dead = dv_by_ref.get(p)
+        if dead:
+            import pyarrow.compute as pc
+            keep = [rn not in dead
+                    for rn in t["_rn"].to_pylist()]
+            t = t.filter(pa.array(keep))
+        parts.append(t.select(cols))
+    return pa.concat_tables(parts)
+
+
 def _export_fixture(tmp_path):
     root = str(tmp_path / "t")
     bootstrap_images_table(root, 200, rows_per_fragment=32)
@@ -115,11 +238,14 @@ def test_iceberg_metadata_tree_and_duckdb_read_back(tmp_path):
     assert len(manifests) == rep["manifests"] >= 1
     for m in manifests:
         assert m["added_snapshot_id"] == meta["current-snapshot-id"]
-        assert m["content"] == 0
+        assert m["content"] in (0, 1)
         assert m["manifest_length"] == os.path.getsize(m["manifest_path"])
+    # the merge fixture produced DVs -> exactly one delete manifest
+    assert sum(m["content"] == 1 for m in manifests) == 1
+    assert rep["dv_puffins"] >= 1
 
-    # --- manifests -> data files (independent decoder again)
-    files, planned_rows = [], 0
+    # --- manifests -> data files + puffin DVs (independent decoder)
+    files, planned_rows, dv_entries = [], 0, []
     for m in manifests:
         fmeta, entries = independent_read_ocf(
             open(m["manifest_path"], "rb").read())
@@ -129,26 +255,48 @@ def test_iceberg_metadata_tree_and_duckdb_read_back(tmp_path):
         for e in entries:
             assert e["status"] == 1
             df = e["data_file"]
-            assert df["file_format"] == "PARQUET"
             assert df["file_size_in_bytes"] == os.path.getsize(
                 df["file_path"])
-            planned_rows += df["record_count"]
-            files.append(df["file_path"])
+            if m["content"] == 1:
+                assert df["file_format"] == "PUFFIN"
+                assert df["content"] == 1
+                dv_entries.append(df)
+            else:
+                assert df["file_format"] == "PARQUET"
+                planned_rows += df["record_count"]
+                files.append(df["file_path"])
     assert planned_rows == rep["rows"]
+    assert len(dv_entries) == rep["dv_puffins"]
+    for df in dv_entries:
+        # every DV references a planned data file, and its blob decodes
+        # through the independent crc/roaring path with the declared
+        # cardinality
+        assert df["referenced_data_file"] in files
+        assert df["content_offset"] == 4
+        dv = _ind_dv_positions(df["file_path"])
+        assert set(dv) == {df["referenced_data_file"]}
+        assert len(dv[df["referenced_data_file"]]) == df["record_count"]
 
-    # --- DuckDB alone reads the planned files; matches the engine scan
+    # --- DV'd data files are HARDLINKED raw fragments (O(bitmap)
+    # export, no payload rewrite)
+    for df in dv_entries:
+        assert os.stat(df["referenced_data_file"]).st_nlink > 1
+
+    # --- DuckDB + independent decoders read the snapshot (DVs applied
+    # as row-number exclusions); matches the engine scan exactly
     want = scan_arrow(root, columns=["image_id", "caption", "phash"])
-    con = duckdb.connect()
-    got = con.execute(
-        "SELECT image_id, caption, phash FROM read_parquet(?) "
-        "ORDER BY image_id", [files]).fetch_arrow_table()
+    got = _ind_read_with_dvs(dest, ["image_id", "caption", "phash"])
     import pyarrow.compute as pc
+    got = got.take(pc.sort_indices(got["image_id"]))
     want = want.take(pc.sort_indices(want["image_id"]))
     assert got.equals(want.select(["image_id", "caption", "phash"])
                       .cast(got.schema))
 
     # --- the engine-side planner agrees with the independent plan
     assert iceberg_active_files(dest) == sorted(files)
+    from moonlink_ray.iceberg import read_iceberg_table
+    eng = read_iceberg_table(dest).to_pandas()
+    assert len(eng) == len(want)
 
 
 def test_avro_ocf_round_trip_edge_values():
@@ -226,22 +374,19 @@ def test_sync_iceberg_incremental(tmp_path):
     assert rep["iceberg_version"] == 2 and not rep["noop"]
     assert rep["added"] >= 1
 
-    # planned files match the engine scan exactly (DuckDB only). The
-    # second CDC wave re-appends ids the first wave created (append
-    # does not enforce key uniqueness — producer's job), so image_id
-    # alone is not a total order; sort by (image_id, caption) on both
-    # sides or the duplicate ids' tie order flakes between DuckDB's
-    # and Arrow's sort.
-    files = iceberg_active_files(dest)
+    # planned snapshot matches the engine scan exactly (DuckDB +
+    # independent decoders, DVs applied). The second CDC wave
+    # re-appends ids the first wave created (append does not enforce
+    # key uniqueness — producer's job), so image_id alone is not a
+    # total order; sort by (image_id, caption) on both sides or the
+    # duplicate ids' tie order flakes between DuckDB's and Arrow's
+    # sort.
     want = scan_arrow(root, columns=["image_id", "caption"])
-    con = duckdb.connect()
-    got = con.execute(
-        "SELECT image_id, caption FROM read_parquet(?) "
-        "ORDER BY image_id, caption", [files]).fetch_arrow_table()
+    got = _ind_read_with_dvs(dest, ["image_id", "caption"])
     import pyarrow.compute as pc
-    want = want.take(pc.sort_indices(
-        want, sort_keys=[("image_id", "ascending"),
-                         ("caption", "ascending")]))
+    keys = [("image_id", "ascending"), ("caption", "ascending")]
+    got = got.take(pc.sort_indices(got, sort_keys=keys))
+    want = want.take(pc.sort_indices(want, sort_keys=keys))
     assert got.equals(want.select(["image_id", "caption"])
                       .cast(got.schema))
 
