@@ -316,6 +316,27 @@ def maint_export_iceberg(sf_dir: str):
         _digest_bytes, batch_format="pyarrow", batch_size=None)
 
 
+def maint_pushdown_read(sf_dir: str):
+    """Pushdown read provider (the moonlink_datafusion TableProvider
+    analog, table_provider.rs:99-140): MERGE the CDC batch, then an
+    EXTERNAL-style consumer reads the snapshot through
+    provider.TableProvider — zone-map pruning decides which fragments
+    open, deletion vectors apply as row selections inside the scan, and
+    the result arrives as a plain Arrow stream. Oracle = the merged
+    table filtered to the same key range."""
+    from .provider import TableProvider
+    fix = ensure_images_fixture(sf_dir)
+    root = _fresh_copy(fix, "pushdown")
+    merge(root, fix["cdc"])
+    prov = TableProvider(root)
+    lo, hi = "img-000000000000", "img-000000000499"
+    parts = []
+    rdr = prov.scanner(predicate={"image_id": (lo, hi)})
+    for rb in rdr:
+        parts.append(_digest_bytes(pa.Table.from_batches([rb])))
+    return pa.concat_tables(parts)
+
+
 def maint_cluster_hilbert(sf_dir: str):
     """Hilbert-curve variant of the cluster rewrite (north rule names
     both curves); content-equality oracle is identical — only the
@@ -1183,6 +1204,7 @@ def queries():
         "maint_schema_alter": maint_schema_alter,
         "maint_json_append": maint_json_append,
         "maint_scan_prune": maint_scan_prune,
+        "maint_pushdown_read": maint_pushdown_read,
         "maint_xact_abort": maint_xact_abort,
         "maint_fullrow": maint_fullrow,
         # --- full-oracle: multimodal ---
@@ -1388,6 +1410,11 @@ def oracle_sql():
         "maint_scan_prune": f"SELECT {_DIGEST_COLS} "
                             f"FROM read_parquet({_MAINT_BASE}) "
                             f"WHERE phash BETWEEN 0 AND {2 ** 61}",
+        "maint_pushdown_read": f"""
+            WITH q AS ({_MERGED_SQL})
+            SELECT * FROM q
+            WHERE image_id BETWEEN 'img-000000000000'
+                               AND 'img-000000000499'""",
         "maint_xact_abort": _XACT_MERGED_SQL,
         "maint_fullrow": _fullrow_sql(),
         "rel_groupby_agg": """
