@@ -243,10 +243,11 @@ class TableFS:
             return
         if isinstance(self.fs, pafs.LocalFileSystem):
             # recycle a retired scratch file's warm pages when one is
-            # available; same write-temp-then-replace atomicity
+            # available; same write-temp-then-replace atomicity. The
+            # throttle lives INSIDE pooled_write_parquet so recycled
+            # (warm-page) writes skip it — see its docstring.
             from .pagepool import pooled_write_parquet
-            with page_write_throttle():
-                pooled_write_parquet(table, path, **kw)
+            pooled_write_parquet(table, path, **kw)
             return
         tmp = path + ".tmp"
         with page_write_throttle():

@@ -341,16 +341,23 @@ class _DeriveSpill:
         out_zb, out_rows = [], []
         import pyarrow.fs as pafs
 
+        from contextlib import nullcontext
+
         from ..runtime import page_write_throttle
         local = isinstance(fs.fs, pafs.LocalFileSystem)
-        with page_write_throttle():
-            if local:
-                # recycle retired scratch pages (pagepool): spill is the
-                # suite's biggest single page allocation (~table bytes)
-                from ..pagepool import PooledSink
-                sink = PooledSink(full, size_hint=int(sorted_t.nbytes))
-            else:
-                sink = None
+        if local:
+            # recycle retired scratch pages (pagepool): spill is the
+            # suite's biggest single page allocation (~table bytes)
+            from ..pagepool import PooledSink
+            sink = PooledSink(full, size_hint=int(sorted_t.nbytes))
+        else:
+            sink = None
+        # throttle only fresh-page writes: a recycled sink overwrites
+        # already-faulted pages at memory speed, and holding it to the
+        # 8-token fault cap made the spill phase width-independent
+        # (the round-4 scaling residual)
+        throttled = sink is None or not sink.recycled
+        with page_write_throttle() if throttled else nullcontext():
             writer = pq.ParquetWriter(
                 sink if sink is not None else full + ".tmp",
                 sorted_t.schema, compression="NONE",
