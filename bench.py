@@ -187,7 +187,7 @@ def run_query_benches() -> dict:
 
     out = {}
     for name in ("rel_groupby_agg", "rel_broadcast_join", "dedup_exact",
-                 "dedup_minhash", "text_stats", "ann_topk",
+                 "dedup_approx", "text_stats", "ann_topk",
                  "img_decode_stats", "maint_export_delta",
                  "maint_export_iceberg"):
         fn = q.queries()[name]

@@ -28,27 +28,37 @@ from .. import codec
 class ImageDecodeStats:
     """Actor-pool stage: decode image bytes -> per-channel mean/std +
     dims. Output schema: input columns + (mean_r, mean_g, mean_b,
-    std_gray, decoded_w, decoded_h)."""
+    std_gray, decoded_w, decoded_h) [+ phash_check with
+    ``with_phash``: the integrity recompute rides the SAME decode — one
+    pixel pass serves both, the natural fused pipeline shape]."""
 
-    def __init__(self):
+    def __init__(self, with_phash: bool = False):
         self.decode = codec.decode  # codec context held per actor
+        self.with_phash = with_phash
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means = np.empty((batch.num_rows, 3), dtype=np.float64)
         stds = np.empty(batch.num_rows, dtype=np.float64)
         dims = np.empty((batch.num_rows, 2), dtype=np.int32)
+        ph = np.empty(batch.num_rows, dtype=np.int64)
         for i, buf in enumerate(batch["bytes"].to_pylist()):
             arr = self.decode(buf)
             means[i] = arr.reshape(-1, 3).mean(axis=0)
             stds[i] = arr.astype(np.float32).mean(axis=2).std()
             dims[i] = (arr.shape[1], arr.shape[0])
-        return (batch
-                .append_column("mean_r", pa.array(means[:, 0]))
-                .append_column("mean_g", pa.array(means[:, 1]))
-                .append_column("mean_b", pa.array(means[:, 2]))
-                .append_column("std_gray", pa.array(stds))
-                .append_column("decoded_w", pa.array(dims[:, 0], pa.int32()))
-                .append_column("decoded_h", pa.array(dims[:, 1], pa.int32())))
+            if self.with_phash:
+                ph[i] = codec.phash(arr)
+        batch = (batch
+                 .append_column("mean_r", pa.array(means[:, 0]))
+                 .append_column("mean_g", pa.array(means[:, 1]))
+                 .append_column("mean_b", pa.array(means[:, 2]))
+                 .append_column("std_gray", pa.array(stds))
+                 .append_column("decoded_w", pa.array(dims[:, 0], pa.int32()))
+                 .append_column("decoded_h", pa.array(dims[:, 1], pa.int32())))
+        if self.with_phash:
+            batch = batch.append_column("phash_check",
+                                        pa.array(ph, pa.int64()))
+        return batch
 
 
 class ImageResize:
