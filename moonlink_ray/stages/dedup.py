@@ -735,14 +735,23 @@ def connected_components_ds(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     for bounded pair frames), the edge list is NEVER collected: each
     round is one map_batches orientation + one hash-bucketed groupby
     with a numpy min-label kernel, and the driver sees only an
-    (edge-count, hash-sum) convergence signature per round. Per-task
-    state is the bucket's share of the current star edges (16 B/edge;
-    the worst case is the final star's hub bucket at O(component) —
-    Ray's sort-based exchange spills it rather than holding it in one
-    heap), and the same fixpoint the reference's multimap index probes
-    resolve per key (storage/index/hash_index.rs:35-89) emerges
-    globally in O(log n) rounds (star forests are stable under both
-    phases, so two consecutive unchanged signatures terminate)."""
+    (edge-count, hash-sum) convergence signature per round. The same
+    fixpoint the reference's multimap index probes resolve per key
+    (storage/index/hash_index.rs:35-89) emerges globally in O(log n)
+    rounds (star forests are stable under both phases, so two
+    consecutive unchanged signatures terminate).
+
+    Per-task state: a task's share of the current star edges at
+    16 B/edge — E/num_buckets on average. The known caveat of the
+    star-contraction family applies (Kiveris et al. §"load
+    balancing"): as components collapse, the component-minimum node's
+    group approaches O(component) edges, which the exchange delivers
+    to one kernel call. At candidate-pair scale (the generators bound
+    pairs by banding/blocking caps) this is megabytes; for adversarial
+    giant components the standard fix — a two-phase round computing
+    m(u) with a combiner-based Min aggregate, then re-emitting
+    per-block against the broadcast minima of only the hot nodes —
+    composes with this loop without changing its contract."""
     import ray.data as rd
 
     def init(t: pa.Table) -> pa.Table:
