@@ -41,7 +41,7 @@ from .sources.scan import scan_arrow
 from .stages import dedup, text
 from .stages.ann import (brute_force_topk, ivf_topk, lsh_topk,
                          make_hyperplanes, train_centroids)
-from .stages.multimodal import ImageDecodeStats, ImagePhash, ImageResize
+from .stages.multimodal import ImageDecodeStats, ImageResize
 from .stages.relational import broadcast_join, partial_groupby_sum
 
 # Fixture/table root. Default to tmpfs when available: the sandbox has
