@@ -87,7 +87,8 @@ def bootstrap_images_table(root: str, n_rows: int, *, rows_per_fragment: int = 2
 
 
 def register_parquet_files(root: str, paths: list[str], *,
-                           max_lsn: int = 0, run_id: str | None = None):
+                           max_lsn: int = 0, run_id: str | None = None,
+                           split_target_bytes: int | None = None):
     """Bulk load: register existing Parquet files as table fragments
     WITHOUT rewriting their data — the moonlink ``LoadFiles`` analog
     (``/root/reference/src/moonlink/src/storage/mooncake_table/
@@ -95,7 +96,16 @@ def register_parquet_files(root: str, paths: list[str], *,
     identity columns are scanned to build the index, there 64-way
     concurrent). Here the stats scan is a column-pruned parallel
     ``map_batches`` over the file list and the "index" is the zone-map
-    stats entry. Returns the new snapshot."""
+    stats entry. Returns the new snapshot.
+
+    A file larger than ~1.5x ``split_target_bytes`` (default: the
+    table config's ``fragment_target_bytes``) is adopted as MULTIPLE
+    row-group-span fragments (the same ``rg_span`` machinery MERGE
+    uses for CDC adoption): one monolithic external dump would
+    otherwise become ONE fragment = one read task for every downstream
+    scan/compact/export, serializing the table behind a single core.
+    Spans follow row-group boundaries, so adoption still moves zero
+    payload bytes."""
     import uuid
 
     import ray.data as rd
@@ -111,6 +121,10 @@ def register_parquet_files(root: str, paths: list[str], *,
     else:
         snap = load(root)
         parent, existing = snap.version, list(snap.fragments)
+    if split_target_bytes is None:
+        from .table_config import load_table_config
+        split_target_bytes = \
+            load_table_config(root).cluster.fragment_target_bytes
 
     items = [{"path": os.path.abspath(p), "n": i}
              for i, p in enumerate(sorted(paths))]
@@ -125,15 +139,54 @@ def register_parquet_files(root: str, paths: list[str], *,
                 raise ValueError(
                     f"{row['path']} missing columns {sorted(missing)}")
             stat_cols = [c for c in STATS_COLUMNS if c in names]
-            t = pq.read_table(row["path"], columns=stat_cols)
-            meta = FragmentMeta(
-                fragment_id=f"frag-load-{run_id}-{row['n']:06d}",
-                path=row["path"],  # absolute: data adopted in place
-                rows=t.num_rows,
-                size_bytes=os.path.getsize(row["path"]),
-                stats=_col_stats(t),
-                dv=None, lineage=[], max_lsn=max_lsn)
-            metas.append(json.dumps(asdict(meta)))
+            fmeta = pf.metadata
+            file_bytes = os.path.getsize(row["path"])
+            # total_byte_size is the UNCOMPRESSED row-group size (the
+            # only per-rg size pyarrow exposes here); prorate it to the
+            # physical file size so span size_bytes stay true-scale for
+            # the compaction victim policy and read-size estimates
+            raw = [fmeta.row_group(i).total_byte_size
+                   for i in range(fmeta.num_row_groups)]
+            scale = file_bytes / max(1, sum(raw))
+            rg_bytes = [int(b * scale) for b in raw]
+            # partition row groups into spans of ~target bytes; a file
+            # under 1.5x target (or a single row group) stays whole
+            spans = []
+            if file_bytes > 1.5 * split_target_bytes and len(rg_bytes) > 1:
+                start, acc = 0, 0
+                for i, b in enumerate(rg_bytes):
+                    acc += b
+                    if acc >= split_target_bytes and i + 1 > start:
+                        spans.append((start, i + 1))
+                        start, acc = i + 1, 0
+                if start < len(rg_bytes):
+                    spans.append((start, len(rg_bytes)))
+            if len(spans) <= 1:
+                t = pq.read_table(row["path"], columns=stat_cols)
+                metas.append(json.dumps(asdict(FragmentMeta(
+                    fragment_id=f"frag-load-{run_id}-{row['n']:06d}",
+                    path=row["path"],  # absolute: data adopted in place
+                    rows=fmeta.num_rows,
+                    size_bytes=file_bytes,
+                    stats=_col_stats(t),
+                    dv=None, lineage=[], max_lsn=max_lsn))))
+                continue
+            rg_rows = [fmeta.row_group(i).num_rows
+                       for i in range(fmeta.num_row_groups)]
+            row0 = 0
+            for k, (rg0, rg1) in enumerate(spans):
+                t = pf.read_row_groups(list(range(rg0, rg1)),
+                                       columns=stat_cols)
+                metas.append(json.dumps(asdict(FragmentMeta(
+                    fragment_id=(f"frag-load-{run_id}-{row['n']:06d}"
+                                 f"-s{k:04d}"),
+                    path=row["path"],
+                    rows=t.num_rows,
+                    size_bytes=sum(rg_bytes[rg0:rg1]),
+                    stats=_col_stats(t),
+                    dv=None, lineage=[], max_lsn=max_lsn,
+                    rg_span=[rg0, rg1, row0]))))
+                row0 += sum(rg_rows[rg0:rg1])
         return pa.table({"meta": pa.array(metas, pa.string())})
 
     ds = rd.from_items(items, override_num_blocks=len(items))

@@ -47,3 +47,46 @@ class TestLoadFiles:
         root = str(tmp_path / "t")
         with pytest.raises(Exception, match="missing columns"):
             register_parquet_files(root, [p])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_register_splits_large_file_into_span_fragments(tmp_path):
+    """A monolithic external parquet adopts as multiple row-group-span
+    fragments (rg_span machinery), so downstream scans parallelize —
+    while still moving zero payload bytes (the file is referenced in
+    place) and scanning back byte-identically."""
+    import pyarrow.parquet as pq
+
+    from moonlink_ray import synth
+    from moonlink_ray.bootstrap import register_parquet_files
+    from moonlink_ray.manifest import init_table, load
+    from moonlink_ray.sources.scan import scan_arrow
+
+    rows = synth.build_rows(list(range(96)))
+    dump = str(tmp_path / "big.parquet")
+    pq.write_table(rows, dump, row_group_size=16, compression="NONE")
+
+    root = str(tmp_path / "t")
+    init_table(root)
+    register_parquet_files(root, [dump], split_target_bytes=1)  # force
+    snap = load(root)
+    spans = [f for f in snap.fragments if f.rg_span]
+    assert len(spans) == 6                      # 96 rows / 16-row rgs
+    assert sum(f.rows for f in spans) == 96
+    # spans tile the file contiguously with correct first-row offsets
+    spans.sort(key=lambda f: f.rg_span[2])
+    row0 = 0
+    for f in spans:
+        assert f.rg_span[2] == row0
+        row0 += f.rows
+        assert f.path == dump                   # adopted in place
+    # content equality through the span reads
+    got = scan_arrow(root, columns=["image_id", "caption"])
+    import pyarrow.compute as pc
+    got = got.take(pc.sort_indices(got["image_id"]))
+    want = rows.select(["image_id", "caption"])
+    want = want.take(pc.sort_indices(want["image_id"]))
+    assert got.equals(want)
+    # per-span zone maps are tighter than the whole file's
+    los = [f.stats["image_id"][0] for f in spans]
+    assert len(set(los)) == len(spans)
