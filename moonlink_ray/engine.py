@@ -110,6 +110,11 @@ def main(argv=None):
                    help="Delta export to garbage-collect")
     s.add_argument("--keep-last", type=int, default=2,
                    help="log versions kept time-travelable")
+    s = sub.add_parser("vacuum-iceberg")  # expire_snapshots + orphan GC
+    s.add_argument("--out", required=True,
+                   help="Iceberg export to garbage-collect")
+    s.add_argument("--keep-last", type=int, default=2,
+                   help="snapshots kept time-travelable")
     s = add("alter")
     s.add_argument("--add", nargs="*", default=[], metavar="NAME:TYPE",
                    help="columns to add, e.g. tag:string score:float64")
@@ -244,6 +249,9 @@ def main(argv=None):
     elif args.cmd == "vacuum-delta":
         from .export import vacuum_delta
         out = vacuum_delta(args.out, keep_last=args.keep_last)
+    elif args.cmd == "vacuum-iceberg":
+        from .iceberg import vacuum_iceberg
+        out = vacuum_iceberg(args.out, keep_last=args.keep_last)
     elif args.cmd == "alter":
         from .schema import alter_table, table_schema
         adds = [tuple(a.split(":", 1)) for a in args.add]

@@ -725,6 +725,132 @@ def read_iceberg_table(dest: str, columns: list[str] | None = None):
         .map_batches(read_one, batch_format="pyarrow")
 
 
+def _snapshot_reachable(destfs, base: str, snap: dict) -> set[str]:
+    """Relative paths reachable from one snapshot: its manifest list,
+    manifests, data files and puffin DV files."""
+    out = set()
+    mlist = os.path.relpath(snap["manifest-list"], base)
+    out.add(mlist)
+    for m in read_avro_ocf(destfs.read_bytes(mlist)):
+        mrel = os.path.relpath(m["manifest_path"], base)
+        out.add(mrel)
+        for e in read_avro_ocf(destfs.read_bytes(mrel)):
+            if e["status"] != 2:
+                out.add(os.path.relpath(e["data_file"]["file_path"], base))
+    return out
+
+
+def vacuum_iceberg(dest: str, *, keep_last: int = 2,
+                   orphan_grace_s: float = 600.0) -> dict:
+    """Expire old snapshots AND physically delete files nothing
+    retained references — Iceberg's ``expire_snapshots`` +
+    ``remove_orphan_files`` in one pass, the export-side counterpart of
+    the table's own ``expire`` (and of ``export.vacuum_delta``). With
+    DV puffins in play this matters doubly: every sync that changes a
+    fragment's deletion vector rotates its content-keyed puffin, so a
+    long-lived synced export accumulates stale puffin blobs as well as
+    stale data files.
+
+    Semantics: the newest ``keep_last`` snapshots stay time-travelable.
+    A new metadata version is published (conditional put, same
+    single-committer rule as sync) listing only the retained snapshots;
+    then any ``part-*.parquet`` / ``metadata/dv-*.puffin`` /
+    ``manifest-*`` / ``snap-*`` file unreachable from EVERY retained
+    snapshot is deleted, as are metadata.json versions older than the
+    previous one. Never-referenced orphans (debris of a killed export)
+    get ``orphan_grace_s`` before deletion — a concurrent sync may have
+    just written data files whose metadata commit has not landed.
+
+    Cross-format safety: the dest may also hold a Delta export sharing
+    the same data files (the documented shared-dest layout); any path a
+    Delta log version still references is kept regardless."""
+    destfs = for_root(dest)
+    base = destfs.full()
+    v = int(destfs.read_text("metadata/version-hint.text").strip())
+    meta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
+    snaps = meta["snapshots"]
+    retained = snaps[-max(1, keep_last):]
+    expired = [s for s in snaps if s not in retained]
+
+    keep: set[str] = set()
+    referenced: set[str] = set()   # reachable from ANY snapshot
+    for s in snaps:
+        paths = _snapshot_reachable(destfs, base, s)
+        referenced |= paths
+        if s in retained:
+            keep |= paths
+
+    # files a co-located Delta export still references are off-limits
+    import urllib.parse
+    from .export import DELTA_LOG_DIR
+    if destfs.exists(DELTA_LOG_DIR):
+        for name in destfs.listdir(DELTA_LOG_DIR):
+            if not name.endswith(".json"):
+                continue
+            for line in destfs.read_text(
+                    f"{DELTA_LOG_DIR}/{name}").splitlines():
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    keep.add(urllib.parse.unquote(act["add"]["path"]))
+
+    if expired:
+        meta = dict(meta)
+        meta["snapshots"] = retained
+        meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in {s["snapshot-id"] for s in retained}]
+        meta["metadata-log"] = []
+        if not destfs.create_exclusive(f"metadata/v{v + 1}.metadata.json",
+                                       json.dumps(meta, indent=1)):
+            raise RuntimeError(
+                f"concurrent writer already published v{v + 1}")
+        destfs.write_text_atomic("metadata/version-hint.text", str(v + 1))
+        v += 1
+
+    import time as _time
+    now = _time.time()
+    deleted = skipped_young = 0
+    candidates: list[str] = []
+    for n in destfs.listdir(""):
+        if n.startswith("part-") and n.endswith(".parquet"):
+            candidates.append(n)
+    for n in destfs.listdir("metadata"):
+        rel = f"metadata/{n}"
+        if n.startswith(("dv-", "manifest-", "snap-")):
+            candidates.append(rel)
+        elif n.endswith(".metadata.json") and expired:
+            # old metadata versions are only safe to drop when a fresh
+            # version with a CLEARED metadata-log was just published
+            # (otherwise the current log still references them); keep
+            # the current + previous version (readers may hold the hint
+            # from just before the swap)
+            try:
+                mv = int(n[1:].split(".")[0])
+            except ValueError:
+                continue
+            if mv < v - 1:
+                candidates.append(rel)
+    for rel in candidates:
+        if rel in keep:
+            continue
+        if rel.endswith(".metadata.json"):
+            deleted += bool(destfs.delete(rel))
+            continue
+        if rel not in referenced and orphan_grace_s > 0:
+            mt = destfs.mtime(rel)
+            if mt is not None and now - mt < orphan_grace_s:
+                skipped_young += 1
+                continue
+        deleted += bool(destfs.delete(rel))
+    return {"dest": base, "iceberg_version": v,
+            "expired_snapshots": len(expired),
+            "retained_snapshots": len(retained),
+            "deleted": deleted, "skipped_young_orphans": skipped_young,
+            "kept_files": len(keep)}
+
+
 # ----------------------------------------------------- decoder (reader)
 
 def _avro_decode(schema, buf: io.BytesIO):

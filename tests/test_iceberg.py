@@ -407,3 +407,56 @@ def test_sync_iceberg_incremental(tmp_path):
     # idempotence: nothing changed -> noop, no new metadata version
     rep2 = sync_iceberg(root, dest)
     assert rep2["noop"] and rep2["iceberg_version"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_iceberg_expires_snapshots_and_stale_puffins(tmp_path):
+    """After two DV-changing syncs, vacuum keeps only the newest
+    snapshots: expired snapshots leave the metadata, their
+    no-longer-referenced data files AND rotated puffin DV blobs are
+    physically deleted, the current snapshot still reads back intact,
+    and a repeat vacuum deletes nothing more."""
+    from moonlink_ray.iceberg import (read_iceberg_table, sync_iceberg,
+                                      vacuum_iceberg)
+    root, dest, _ = _export_fixture(tmp_path)
+
+    # two more CDC waves -> two syncs; deletes rotate DV puffins
+    for i, lsn in enumerate((5000, 9000)):
+        cdc = str(tmp_path / f"cdc{i + 2}.parquet")
+        write_cdc_parquet(cdc, n_base=200, n_ops=30, start_lsn=lsn,
+                          seed=20 + i)
+        merge(root, cdc)
+        rep = sync_iceberg(root, dest)
+        assert not rep["noop"]
+
+    meta3 = json.load(open(os.path.join(dest, "metadata/v3.metadata.json")))
+    assert len(meta3["snapshots"]) == 3
+    files_before = {
+        n for n in os.listdir(dest) if n.startswith("part-")}
+    puffins_before = {n for n in os.listdir(os.path.join(dest, "metadata"))
+                      if n.startswith("dv-")}
+
+    want = read_iceberg_table(dest, columns=["image_id"]).to_pandas()
+
+    rep = vacuum_iceberg(dest, keep_last=1, orphan_grace_s=0)
+    assert rep["expired_snapshots"] == 2
+    assert rep["deleted"] > 0
+
+    # new metadata version holds only the retained snapshot
+    hint = open(os.path.join(dest, "metadata/version-hint.text")).read()
+    meta = json.load(open(os.path.join(
+        dest, f"metadata/v{hint.strip()}.metadata.json")))
+    assert len(meta["snapshots"]) == 1
+    assert meta["snapshots"][0]["snapshot-id"] == meta["current-snapshot-id"]
+
+    # stale data files / puffins are gone, retained ones remain
+    files_after = {n for n in os.listdir(dest) if n.startswith("part-")}
+    puffins_after = {n for n in os.listdir(os.path.join(dest, "metadata"))
+                     if n.startswith("dv-")}
+    assert files_after < files_before or puffins_after < puffins_before
+    # current snapshot reads back identically after the vacuum
+    got = read_iceberg_table(dest, columns=["image_id"]).to_pandas()
+    assert sorted(got["image_id"]) == sorted(want["image_id"])
+    # idempotent: nothing else to delete
+    rep2 = vacuum_iceberg(dest, keep_last=1, orphan_grace_s=0)
+    assert rep2["deleted"] == 0 and rep2["expired_snapshots"] == 0
