@@ -500,6 +500,17 @@ def vacuum_delta(dest: str, *, keep_last: int = 2,
                 live.pop(act["remove"]["path"], None)
         if name in retained:  # live set AS OF a retained version
             keep.update(urllib.parse.unquote(p) for p in live)
+    # shared-dest safety (mirror of vacuum_iceberg's): data files a
+    # co-located Iceberg export's metadata tree still references are
+    # off-limits, whatever the Delta log says
+    if destfs.exists("metadata/version-hint.text"):
+        import os as _os
+
+        from .iceberg import _snapshot_reachable
+        v = destfs.read_text("metadata/version-hint.text").strip()
+        imeta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))
+        for s in imeta["snapshots"]:
+            keep.update(_snapshot_reachable(destfs, destfs.full(), s))
     now = time.time()
     deleted = skipped_young = 0
     for n in destfs.listdir(""):

@@ -343,3 +343,41 @@ def test_sync_detects_type_only_schema_drift(tmp_path):
                      [-1]["metaData"]["schemaString"])
     assert [f for f in sch["fields"] if f["name"] == "score"][0]["type"] \
         == "long"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_delta_keeps_iceberg_referenced_files(tmp_path):
+    """Shared-dest layout: a dest holding BOTH exports — vacuum_delta
+    must not delete data files the Iceberg metadata still references
+    even when no retained Delta log version lists them."""
+    from moonlink_ray.bootstrap import bootstrap_images_table
+    from moonlink_ray.export import export_delta, vacuum_delta
+    from moonlink_ray.iceberg import export_iceberg, iceberg_active_files
+
+    root = str(tmp_path / "t")
+    bootstrap_images_table(root, 80, rows_per_fragment=20)
+    dest = str(tmp_path / "out")
+    export_delta(root, dest)
+    export_iceberg(root, dest)   # shares the same data files
+
+    import json
+    import os
+    # forge a Delta log state where version 1 removes every file, so a
+    # keep_last=1 vacuum would consider them all dead
+    log_dir = os.path.join(dest, "_delta_log")
+    adds = [json.loads(l) for l in open(os.path.join(
+        log_dir, "00000000000000000000.json")) if '"add"' in l]
+    removes = [json.dumps({"remove": {"path": a["add"]["path"],
+                                      "deletionTimestamp": 1,
+                                      "dataChange": True}})
+               for a in adds]
+    with open(os.path.join(log_dir, "00000000000000000001.json"),
+              "w") as f:
+        f.write("\n".join(removes) + "\n")
+
+    rep = vacuum_delta(dest, keep_last=1, orphan_grace_s=0)
+    # nothing deleted: every file is still referenced by the Iceberg
+    # metadata tree sharing this dest
+    for p in iceberg_active_files(dest):
+        assert os.path.exists(p)
+    assert rep["deleted"] == 0
