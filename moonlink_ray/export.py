@@ -504,8 +504,6 @@ def vacuum_delta(dest: str, *, keep_last: int = 2,
     # co-located Iceberg export's metadata tree still references are
     # off-limits, whatever the Delta log says
     if destfs.exists("metadata/version-hint.text"):
-        import os as _os
-
         from .iceberg import _snapshot_reachable
         v = destfs.read_text("metadata/version-hint.text").strip()
         imeta = json.loads(destfs.read_text(f"metadata/v{v}.metadata.json"))

@@ -308,7 +308,6 @@ def _write_dv_puffins(root: str, destfs, dv_pairs: list) -> list[dict]:
     infos = []
     for frag, data_rel in dv_pairs:
         rel = _dv_puffin_rel(frag, data_rel)
-        full = destfs.full(rel)
         if destfs.exists(rel):
             from .puffin import read_puffin
             blob_meta = read_puffin(destfs.read_bytes(rel))[0][1]

@@ -227,19 +227,33 @@ class PooledSink:
     caller-provided sinks, so callers finish with ``commit()`` (or
     ``abort()`` on failure). ``truncate()`` at close clips the recycled
     file's stale tail — without it the parquet footer would not be at
-    EOF and every reader would see a corrupt file."""
+    EOF and every reader would see a corrupt file.
+
+    Throttling is byte-accurate and built in: bytes that overwrite the
+    recycled file's already-host-faulted pages run at full width (they
+    never touch the host fault path), while bytes past the recycled
+    length — and every byte of a fresh-file fallback — first take a
+    node write token (``runtime.acquire_write_token``), because THOSE
+    are first-touch faults. ``acquire`` may hand back a file smaller
+    than the hint, so a recycled sink can still cross into throttled
+    territory mid-write; the token is taken lazily at the crossing and
+    held until close."""
 
     def __init__(self, final_path: str, size_hint: int = 0):
         self.final_path = final_path
         self._claimed = acquire(final_path, size_hint)
         if self._claimed is not None:
             self._path = self._claimed
+            self._warm_bytes = os.path.getsize(self._path)
             self._f = open(self._path, "r+b")
         else:
             self._path = f"{final_path}.tmp-{uuid.uuid4().hex[:8]}"
+            self._warm_bytes = 0
             self._f = open(self._path, "wb")
         self.closed = False
         self._published = False
+        self._token: int | None = None
+        self._token_checked = False
 
     @property
     def recycled(self) -> bool:
@@ -247,6 +261,11 @@ class PooledSink:
 
     # file-like surface (what pyarrow's PythonFile needs)
     def write(self, b) -> int:
+        if not self._token_checked and \
+                self._f.tell() + len(b) > self._warm_bytes:
+            from .runtime import acquire_write_token
+            self._token = acquire_write_token()
+            self._token_checked = True
         return self._f.write(b)
 
     def flush(self) -> None:
@@ -269,6 +288,10 @@ class PooledSink:
             self.closed = True
             self._f.truncate()
             self._f.close()
+            if self._token is not None:
+                from .runtime import release_write_token
+                release_write_token(self._token)
+                self._token = None
 
     def commit(self) -> None:
         """Publish atomically at the final path."""
@@ -294,24 +317,16 @@ def pooled_write_parquet(table, final_path: str, **pq_kwargs) -> bool:
     succeeds (falls back to a plain temp file when the pool is empty);
     the return reports whether pages were recycled.
 
-    The page-write throttle is applied ONLY on the fresh-page fallback:
-    a recycled write overwrites already-host-faulted pages at memory
-    speed, so gating it on the 8-token fault-path cap would make the
-    write phase width-independent for no reason — the round-4 scaling
-    residual (optimize spill 1.9x between 8 and 32 CPUs) was exactly
-    this. Fresh-page writes (pool miss, or the tail beyond a smaller
-    recycled file) still contend on the host fault path and stay
-    throttled."""
-    from contextlib import nullcontext
-
+    Throttling is handled inside the sink, byte-accurately: warm
+    (recycled) bytes run at full width, first-touch bytes — a pool
+    miss, or the tail beyond a smaller recycled file — take a node
+    write token. Capping warm writes too was the round-4 scaling
+    residual (optimize spill 1.9x between 8 and 32 CPUs)."""
     import pyarrow.parquet as pq
 
-    from .runtime import page_write_throttle
     sink = PooledSink(final_path, size_hint=int(table.nbytes))
-    ctx = nullcontext() if sink.recycled else page_write_throttle()
     try:
-        with ctx:
-            pq.write_table(table, sink, **pq_kwargs)
+        pq.write_table(table, sink, **pq_kwargs)
         sink.commit()
     except BaseException:
         sink.abort()

@@ -347,17 +347,15 @@ class _DeriveSpill:
         local = isinstance(fs.fs, pafs.LocalFileSystem)
         if local:
             # recycle retired scratch pages (pagepool): spill is the
-            # suite's biggest single page allocation (~table bytes)
+            # suite's biggest single page allocation (~table bytes).
+            # The sink throttles itself byte-accurately (warm bytes at
+            # full width, first-touch bytes token-gated — capping warm
+            # writes too was the round-4 scaling residual)
             from ..pagepool import PooledSink
             sink = PooledSink(full, size_hint=int(sorted_t.nbytes))
         else:
             sink = None
-        # throttle only fresh-page writes: a recycled sink overwrites
-        # already-faulted pages at memory speed, and holding it to the
-        # 8-token fault cap made the spill phase width-independent
-        # (the round-4 scaling residual)
-        throttled = sink is None or not sink.recycled
-        with page_write_throttle() if throttled else nullcontext():
+        with page_write_throttle() if sink is None else nullcontext():
             writer = pq.ParquetWriter(
                 sink if sink is not None else full + ".tmp",
                 sorted_t.schema, compression="NONE",

@@ -58,26 +58,36 @@ class TableProvider:
                 predicate: dict | None = None) -> pa.RecordBatchReader:
         """Arrow stream of the snapshot's LIVE rows: zone-map-pruned
         fragments, column-pruned parquet reads, DV positions dropped,
-        residual predicate applied exactly."""
+        residual predicate applied exactly. Predicate columns the
+        caller did not project are still READ so the residual filter
+        is exact, then dropped from the output."""
         from .fragments import read_fragment
         from .schema import conform_table
         from .sources.scan import _row_filter
 
         out_schema = self.schema
+        read_cols = columns
         if columns is not None:
             out_schema = pa.schema(
                 [f for f in out_schema if f.name in columns])
+            if predicate:
+                read_cols = list(dict.fromkeys(
+                    list(columns) + [c for c in predicate
+                                     if c in self.schema.names]))
+        read_schema = self.schema if read_cols is None else pa.schema(
+            [f for f in self.schema if f.name in read_cols])
         frags = self.plan(predicate)
         opened = self.opened_fragments
 
         def gen():
             for meta in frags:
                 opened.append(meta.fragment_id)
-                t = read_fragment(self.root, meta, columns=columns,
+                t = read_fragment(self.root, meta, columns=read_cols,
                                   tolerant_columns=True)
-                t = conform_table(t, out_schema)
+                t = conform_table(t, read_schema)
                 if predicate:
                     t = _row_filter(t, predicate)
+                t = t.select(out_schema.names)
                 for rb in t.to_batches():
                     yield rb
 

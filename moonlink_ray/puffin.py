@@ -42,29 +42,32 @@ _ARRAY_MAX = 4096
 
 # ------------------------------------------------------------- crc32c
 
-_CRC32C_TABLE = None
+_CRC32C_TABLE: list[int] | None = None
 
 
-def _crc_table() -> np.ndarray:
+def _crc_table() -> list[int]:
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
         poly = 0x82F63B78  # reflected Castagnoli
-        table = np.zeros(256, dtype=np.uint32)
+        table = []
         for i in range(256):
             crc = i
             for _ in range(8):
                 crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
-            table[i] = crc
+            table.append(crc)
         _CRC32C_TABLE = table
     return _CRC32C_TABLE
 
 
 def crc32c(data: bytes) -> int:
+    # plain-int table loop: numpy scalar indexing/xor per byte costs
+    # ~20x more than int ops, and this runs once per DV blob on the
+    # export path
     table = _crc_table()
-    crc = np.uint32(0xFFFFFFFF)
+    crc = 0xFFFFFFFF
     for b in data:
-        crc = table[(int(crc) ^ b) & 0xFF] ^ (crc >> np.uint32(8))
-    return int(crc) ^ 0xFFFFFFFF
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 # ------------------------------------------- roaring bitmap (32-bit)

@@ -334,6 +334,8 @@ def maint_pushdown_read(sf_dir: str):
     rdr = prov.scanner(predicate={"image_id": (lo, hi)})
     for rb in rdr:
         parts.append(_digest_bytes(pa.Table.from_batches([rb])))
+    if not parts:  # fully-pruned scan: keep the digest schema
+        parts = [_digest_bytes(rdr.schema.empty_table())]
     return pa.concat_tables(parts)
 
 

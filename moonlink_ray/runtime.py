@@ -53,35 +53,43 @@ _done = False
 _TOKEN_DIR = "/tmp/mlray-write-tokens"
 
 
-@contextmanager
-def page_write_throttle():
-    """Cap concurrent bulk file writes on this node (see module note)."""
+def acquire_write_token() -> int | None:
+    """Take one node-local write token (blocking once all are busy).
+    Returns the held fd, or None when throttling is disabled."""
     n = int(os.environ.get("MLRAY_WRITE_TOKENS", "8"))
     if n <= 0:
-        yield
-        return
+        return None
     import fcntl
     os.makedirs(_TOKEN_DIR, exist_ok=True)
-    held = None
     for i in range(n):  # any free token, without blocking
         fd = os.open(f"{_TOKEN_DIR}/t{i}", os.O_CREAT | os.O_RDWR, 0o666)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            held = fd
-            break
+            return fd
         except OSError:
             os.close(fd)
-    if held is None:  # all busy: queue on a pid-spread token
-        fd = os.open(f"{_TOKEN_DIR}/t{os.getpid() % n}",
-                     os.O_CREAT | os.O_RDWR, 0o666)
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        held = fd
+    fd = os.open(f"{_TOKEN_DIR}/t{os.getpid() % n}",  # queue, pid-spread
+                 os.O_CREAT | os.O_RDWR, 0o666)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    return fd
+
+
+def release_write_token(fd: int | None) -> None:
+    if fd is None:
+        return
+    import fcntl
+    fcntl.flock(fd, fcntl.LOCK_UN)
+    os.close(fd)
+
+
+@contextmanager
+def page_write_throttle():
+    """Cap concurrent bulk file writes on this node (see module note)."""
+    held = acquire_write_token()
     try:
         yield
     finally:
-        import fcntl
-        fcntl.flock(held, fcntl.LOCK_UN)
-        os.close(held)
+        release_write_token(held)
 
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_MAX = -4

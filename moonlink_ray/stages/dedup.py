@@ -849,9 +849,18 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
     process. Driver state is O(1) (a scratch path and convergence
     scalars); nothing proportional to the dup rate is collected or
     broadcast, unlike the round-4 ``ray.put`` drop-set broadcast whose
-    bound grew with corpus dup rate."""
+    bound grew with corpus dup rate.
+
+    ``scratch_dir`` contract: it must be visible to every worker that
+    will run the anti-join — on a multi-node cluster pass a path on
+    the table's shared filesystem / object store (the same place
+    fragments live); the node-local tempdir default is only valid in
+    single-node deployments. Each call writes into a fresh unique
+    subdirectory, so reusing one ``scratch_dir`` across calls can
+    never mix stale drop shards into a later run."""
     import os
     import tempfile
+    import uuid
 
     cc = connected_components_ds(pairs_ds, a_col=a_col, b_col=b_col)
 
@@ -865,7 +874,7 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
 
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="mlray-dropset-")
-    drop_dir = os.path.join(scratch_dir, "drops")
+    drop_dir = os.path.join(scratch_dir, f"drops-{uuid.uuid4().hex[:12]}")
     cc.map_batches(drops, batch_format="pyarrow") \
         .write_parquet(drop_dir, partition_cols=["shard"])
 
@@ -912,22 +921,29 @@ def corpus_fingerprint(ds, *, id_col: str = "doc_id",
                        text_col: str = "text") -> dict:
     """Deterministic corpus fingerprint for index-cache validation:
     row count + id sum + content-hash sum (mod 2^64). One column-pruned
-    pass; per-batch partials are O(1) rows, combined exactly on the
-    driver with arbitrary-precision ints (no int64-overflow wraparound
-    in the exchange)."""
+    pass. Per-batch partials ship their FULL mod-2^64 sums as two
+    32-bit halves (the ``_edge_sig`` pattern): truncating per batch
+    would make the fingerprint depend on how Ray happens to partition
+    blocks (CPU count, batch size), spuriously invalidating the cache
+    every time the partitioning shifts."""
     def fp(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
         th = stable_hash_strings(batch[text_col]).astype(np.uint64)
+        i = int(ids.sum(dtype=np.uint64))     # numpy wraps mod 2^64
+        t = int(th.sum(dtype=np.uint64))
         return pa.table({"n": pa.array([len(ids)], pa.int64()),
-                         "id_sum": pa.array([int(ids.sum()) % (2 ** 62)],
-                                            pa.int64()),
-                         "th_sum": pa.array([int(th.sum(dtype=np.uint64))
-                                             % (2 ** 62)], pa.int64())})
+                         "id_lo": pa.array([i & 0xFFFFFFFF], pa.int64()),
+                         "id_hi": pa.array([i >> 32], pa.int64()),
+                         "th_lo": pa.array([t & 0xFFFFFFFF], pa.int64()),
+                         "th_hi": pa.array([t >> 32], pa.int64())})
 
     parts = ds.map_batches(fp, batch_format="pyarrow").take_all()
     return {"n": sum(p["n"] for p in parts),
-            "id_sum": sum(p["id_sum"] for p in parts) % (2 ** 64),
-            "th_sum": sum(p["th_sum"] for p in parts) % (2 ** 64)}
+            "id_sum": sum(p["id_lo"] + (p["id_hi"] << 32)
+                          for p in parts) % (2 ** 64),
+            "th_sum": sum(p["th_lo"] + (p["th_hi"] << 32)
+                          for p in parts) % (2 ** 64)}
 
 
 def gram_index_valid(index_dir: str, fingerprint: dict | None) -> bool:

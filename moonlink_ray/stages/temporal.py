@@ -77,14 +77,26 @@ def _asof_join_tables(lt, rt, *, left_on: str, right_on: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import pyarrow.compute as pc
+
     kl = np.asarray(lt[by_left].to_numpy(zero_copy_only=False))
     kr = np.asarray(rt[by_right].to_numpy(zero_copy_only=False))
-    if rt.num_rows:
-        uniq = np.unique(np.concatenate([kl, kr]))
-        code_l = np.searchsorted(uniq, kl)
-        code_r = np.searchsorted(uniq, kr)
-        idx = _asof_indices(code_l, _ts_int64(lt[left_on]),
-                            code_r, _ts_int64(rt[right_on]))
+    # null by-keys never match (pandas merge_asof semantics): factorize
+    # only non-null keys — a None in an object array would crash
+    # np.unique's sort — and leave null-key left rows unmatched
+    null_l = pc.is_null(lt[by_left]).to_numpy(zero_copy_only=False)
+    null_r = pc.is_null(rt[by_right]).to_numpy(zero_copy_only=False)
+    if rt.num_rows and not null_r.all():
+        pool = np.concatenate([kl[~null_l], kr[~null_r]])
+        uniq = np.unique(pool)
+        idx = np.full(lt.num_rows, -1, dtype=np.int64)
+        code_l = np.searchsorted(uniq, kl[~null_l])
+        code_r = np.searchsorted(uniq, kr[~null_r])
+        r_pos = np.flatnonzero(~null_r)
+        sub = _asof_indices(
+            code_l, _ts_int64(lt[left_on])[~null_l],
+            code_r, _ts_int64(rt[right_on])[~null_r])
+        idx[~null_l] = np.where(sub >= 0, r_pos[np.clip(sub, 0, None)], -1)
     else:
         idx = np.full(lt.num_rows, -1, dtype=np.int64)
     take = pa.array(idx, pa.int64(), mask=idx < 0)  # null -> null row

@@ -218,9 +218,12 @@ class TestDistributedCC:
             docs, rd.from_pandas(pairs),
             scratch_dir=str(tmp_path)).to_pandas()
         assert sorted(out["doc_id"]) == [1, 5, 7]
-        # drop set landed as hash-sharded parquet, not a broadcast
+        # drop set landed as hash-sharded parquet (in a per-call unique
+        # subdir), not a broadcast
         import os
-        shards = os.listdir(str(tmp_path / "drops"))
+        (drop_dir,) = [d for d in os.listdir(tmp_path)
+                       if d.startswith("drops-")]
+        shards = os.listdir(str(tmp_path / drop_dir))
         assert shards and all(s.startswith("shard=") for s in shards)
 
     def test_driver_state_is_scalar(self):
@@ -235,3 +238,17 @@ class TestDistributedCC:
         sig = dedup._edge_sig(ds)
         assert isinstance(sig, tuple) and len(sig) == 2
         assert all(isinstance(x, int) for x in sig)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_fingerprint_is_partition_invariant():
+    """The fingerprint must be a pure function of corpus CONTENT —
+    re-blocking the same rows (different CPU counts / batch sizes in
+    Ray) must not change it, or the gram-index cache would spuriously
+    rebuild on every partitioning shift."""
+    import ray.data as rd
+    docs = [{"doc_id": i, "text": f"some text payload number {i}"}
+            for i in range(257)]
+    one = rd.from_items(docs).repartition(1)
+    many = rd.from_items(docs).repartition(13)
+    assert dedup.corpus_fingerprint(one) == dedup.corpus_fingerprint(many)

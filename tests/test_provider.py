@@ -85,3 +85,19 @@ def test_provider_applies_dvs_as_row_selections(dv_table):
     prov1 = TableProvider(dv_table, version=1)
     base = prov1.read_all(columns=["image_id"])
     assert base.num_rows == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_on_unprojected_column_is_exact(dv_table):
+    """A predicate column missing from `columns` must still filter
+    rows exactly (it is read internally and dropped from the output),
+    not silently degrade to fragment-level pruning."""
+    prov = TableProvider(dv_table)
+    lo, hi = "img-000000000010", "img-000000000039"
+    t = prov.read_all(columns=["phash"],
+                      predicate={"image_id": (lo, hi)})
+    assert t.column_names == ["phash"]
+    want = scan_arrow(dv_table, columns=["image_id", "phash"]).to_pandas()
+    want = want[(want["image_id"] >= lo) & (want["image_id"] <= hi)]
+    assert t.num_rows == len(want)
+    assert int(t.to_pandas()["phash"].sum()) == int(want["phash"].sum())

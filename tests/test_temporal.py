@@ -131,3 +131,30 @@ def test_asof_kernel_tie_semantics_vs_pandas():
             w["val"].fillna(-1).to_numpy()).all()
     assert (g["rt"].fillna(-1).to_numpy() ==
             w["rt"].fillna(-1).to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_kernel_null_keys_never_match():
+    """Null by-keys (object arrays containing None) must not crash the
+    factorization and must match nothing — merge_asof semantics."""
+    import pyarrow as pa
+    from moonlink_ray.stages.temporal import _asof_join_tables
+    lt = pa.table({"k": pa.array(["a", None, "b", None]),
+                   "t": pa.array([5, 5, 5, 5], pa.int64())})
+    rt = pa.table({"rk": pa.array(["a", None, "b"]),
+                   "rt": pa.array([1, 1, 9], pa.int64()),
+                   "val": pa.array([10, 20, 30], pa.int64())})
+    out = _asof_join_tables(lt, rt, left_on="t", right_on="rt",
+                            by_left="k", by_right="rk").to_pandas()
+    by_key = dict(zip(out["k"], out["val"]))
+    assert by_key["a"] == 10
+    assert pd.isna(by_key["b"])         # right "b" is later than t=5
+    assert out.loc[out["k"].isna(), "val"].isna().all()
+
+    # all-null right side: every left row unmatched, no crash
+    rt2 = pa.table({"rk": pa.array([None, None], pa.string()),
+                    "rt": pa.array([1, 2], pa.int64()),
+                    "val": pa.array([1, 2], pa.int64())})
+    out2 = _asof_join_tables(lt, rt2, left_on="t", right_on="rt",
+                             by_left="k", by_right="rk").to_pandas()
+    assert out2["val"].isna().all()
