@@ -125,3 +125,41 @@ def test_iceberg_export_is_o_bitmap_for_deleted_snapshot(tmp_path):
     got = read_iceberg_table(dest, columns=["image_id"]).to_pandas()
     want_rows = sum(f.rows - (f.rows + 1) // 2 for f in frags)
     assert len(got) == want_rows
+
+
+# ------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2 ** 40),
+                max_size=300))
+def test_dv_blob_round_trip_property(vals):
+    pos = np.unique(np.array(vals, dtype=np.uint64)) \
+        if vals else np.empty(0, np.uint64)
+    blob = P.dv_blob_serialize(pos)
+    assert np.array_equal(P.dv_blob_deserialize(blob), pos)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2 ** 16 - 1),
+       st.integers(min_value=1, max_value=3))
+def test_dense_runs_cross_container_boundaries(start, n_chunks):
+    # contiguous runs spanning 16-bit container boundaries exercise the
+    # array->bitset switch and multi-container walks
+    pos = np.arange(start, start + n_chunks * 5000, dtype=np.uint64)
+    blob = P.dv_blob_serialize(pos)
+    assert np.array_equal(P.dv_blob_deserialize(blob), pos)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_crc32c_matches_bitwise_reference(data):
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    assert P.crc32c(data) == crc ^ 0xFFFFFFFF
