@@ -321,7 +321,6 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
     threshold_permille.
     """
     import ray
-    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         out_ids, out_g = [], []
@@ -361,9 +360,14 @@ def ngram_jaccard_pairs(ds, *, id_col="doc_id", text_col="text", k=3,
     pair_rows = grams.groupby("_gb").map_groups(pairs, batch_format="pandas")
     # materialize once: the aggregated pair table (bounded by candidate
     # pairs) is consumed twice below — without this the whole
-    # explode+shuffle would re-execute per consumer
-    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i")) \
-        .materialize()
+    # explode+shuffle would re-execute per consumer. The shared-gram
+    # count per pair uses the Arrow group_by combiner
+    # (relational.partial_groupby_sum), NOT Ray's sort-based aggregate:
+    # measured 178 s -> ~2 s over 1.27M pair rows at sf0.1 (the same
+    # 80x-class gap the round-3 relational work measured).
+    from .relational import partial_groupby_sum
+    inter = partial_groupby_sum(pair_rows, ["a", "b"], [],
+                                count_col="i").materialize()
 
     # per-doc gram counts for ONLY the docs that appear in a pair
     def pair_ids(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1039,7 +1043,6 @@ def ngram_pairs_vs_index(index_dir: str, new_ds, *, id_col: str = "doc_id",
     import os
 
     import ray
-    from ray.data.aggregate import Sum
 
     with open(os.path.join(index_dir, "gram_manifest.json")) as f:
         manifest = json.load(f)
@@ -1077,10 +1080,11 @@ def ngram_pairs_vs_index(index_dir: str, new_ds, *, id_col: str = "doc_id",
         out.columns = ["a", "b", "i"]
         return out.astype({"i": np.int64})
 
-    inter = new_grams.groupby("gb").map_groups(
-        probe_bucket, batch_format="pandas") \
-        .groupby(["a", "b"]).aggregate(Sum("i", alias_name="i")) \
-        .materialize()
+    from .relational import partial_groupby_sum
+    inter = partial_groupby_sum(
+        new_grams.groupby("gb").map_groups(probe_bucket,
+                                           batch_format="pandas"),
+        ["a", "b"], ["i"], count_col=None).materialize()
 
     ab = inter.select_columns(["a", "b"]).to_pandas()
     if len(ab) == 0:
