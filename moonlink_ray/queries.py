@@ -843,13 +843,32 @@ def rel_topk(sf_dir: str):
             .select(["o_orderkey", "o_custkey", "price_c"])
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.sort(["price_c", "o_orderkey"], descending=[True, False]) \
-        .limit(20)
+    # per-block partial top-k first: the global sort then runs over
+    # O(blocks * k) survivor rows instead of the full table — a full
+    # sort for top-20 is an all-to-all exchange of every row at scale
+    k = 20
+    keys = [("price_c", "descending"), ("o_orderkey", "ascending")]
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:k])
+
+    return ds.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["price_c", "o_orderkey"], descending=[True, False]) \
+        .limit(k)
 
 
 def rel_distinct(sf_dir: str):
+    # per-block distinct first: Ray's Dataset.unique sort-shuffles the
+    # whole column; the pre-pass bounds the exchange at
+    # O(blocks * distinct values)
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
-    vals = sorted(ds.unique("o_orderpriority"))  # distinct is a shuffle
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority":
+                         pc.unique(t["o_orderpriority"])})
+
+    vals = sorted(ds.map_batches(block_distinct, batch_format="pyarrow")
+                  .unique("o_orderpriority"))
     return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
 
 
