@@ -464,6 +464,26 @@ def delta_active_files(dest: str) -> list[str]:
     return [destfs.full(urllib.parse.unquote(p)) for p in sorted(live)]
 
 
+def delta_referenced_paths(destfs) -> set[str]:
+    """Every data-file path ANY Delta log version ever added (decoded
+    from the newline-JSON actions) — the shared 'is this file still
+    claimed by the Delta side' set used by both vacuums."""
+    out: set[str] = set()
+    if not destfs.exists(DELTA_LOG_DIR):
+        return out
+    for name in destfs.listdir(DELTA_LOG_DIR):
+        if not name.endswith(".json"):
+            continue
+        for line in destfs.read_text(
+                f"{DELTA_LOG_DIR}/{name}").splitlines():
+            if not line.strip():
+                continue
+            act = json.loads(line)
+            if "add" in act:
+                out.add(urllib.parse.unquote(act["add"]["path"]))
+    return out
+
+
 def vacuum_delta(dest: str, *, keep_last: int = 2,
                  orphan_grace_s: float = 600.0) -> dict:
     """Physically delete data files that no retained Delta log version
@@ -516,11 +536,14 @@ def vacuum_delta(dest: str, *, keep_last: int = 2,
                 or n in keep:
             continue
         if n not in referenced and orphan_grace_s > 0:
-            mt = destfs.mtime(n)
+            # arrival_time, NOT mtime: a hardlink-adopted file keeps
+            # the source's (old) mtime, and sweeping a just-linked
+            # uncommitted sync file would corrupt its pending commit
+            mt = destfs.arrival_time(n)
             if mt is not None and now - mt < orphan_grace_s:
                 skipped_young += 1
                 continue
-        deleted += bool(destfs.delete(n))
+        deleted += bool(destfs.retire(n))  # GC path: recycle pages
     return {"dest": destfs.full(), "deleted": deleted,
             "skipped_young_orphans": skipped_young,
             "retained_versions": len(retained), "kept_files": len(keep)}

@@ -272,6 +272,23 @@ class TableFS:
         mt = self.fs.get_file_info(self.full(rel)).mtime
         return None if mt is None else mt.timestamp()
 
+    def arrival_time(self, rel: str) -> float | None:
+        """Newest of (mtime, ctime) — when this PATH appeared here.
+        Hardlink adoption (``adopt_file``) preserves the source file's
+        mtime but bumps its ctime (link-count change), so orphan-grace
+        checks must use this, not mtime alone: a just-linked
+        uncommitted export file would otherwise look hours old and be
+        swept mid-sync. Object-store adopts are fresh writes, where
+        mtime is already the arrival time."""
+        if isinstance(self.fs, pafs.LocalFileSystem):
+            import os as _os
+            try:
+                st = _os.stat(self.full(rel))
+                return max(st.st_mtime, st.st_ctime)
+            except OSError:
+                return None
+        return self.mtime(rel)
+
     def makedirs(self, rel: str) -> None:
         self.fs.create_dir(self.full(rel), recursive=True)
 

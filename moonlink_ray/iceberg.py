@@ -780,19 +780,8 @@ def vacuum_iceberg(dest: str, *, keep_last: int = 2,
             keep |= paths
 
     # files a co-located Delta export still references are off-limits
-    import urllib.parse
-    from .export import DELTA_LOG_DIR
-    if destfs.exists(DELTA_LOG_DIR):
-        for name in destfs.listdir(DELTA_LOG_DIR):
-            if not name.endswith(".json"):
-                continue
-            for line in destfs.read_text(
-                    f"{DELTA_LOG_DIR}/{name}").splitlines():
-                if not line.strip():
-                    continue
-                act = json.loads(line)
-                if "add" in act:
-                    keep.add(urllib.parse.unquote(act["add"]["path"]))
+    from .export import delta_referenced_paths
+    keep |= delta_referenced_paths(destfs)
 
     if expired:
         meta = dict(meta)
@@ -808,8 +797,7 @@ def vacuum_iceberg(dest: str, *, keep_last: int = 2,
         destfs.write_text_atomic("metadata/version-hint.text", str(v + 1))
         v += 1
 
-    import time as _time
-    now = _time.time()
+    now = time.time()
     deleted = skipped_young = 0
     candidates: list[str] = []
     for n in destfs.listdir(""):
@@ -838,11 +826,13 @@ def vacuum_iceberg(dest: str, *, keep_last: int = 2,
             deleted += bool(destfs.delete(rel))
             continue
         if rel not in referenced and orphan_grace_s > 0:
-            mt = destfs.mtime(rel)
+            # arrival_time, NOT mtime: hardlink-adopted files keep the
+            # source's old mtime (see export.vacuum_delta)
+            mt = destfs.arrival_time(rel)
             if mt is not None and now - mt < orphan_grace_s:
                 skipped_young += 1
                 continue
-        deleted += bool(destfs.delete(rel))
+        deleted += bool(destfs.retire(rel))  # GC path: recycle pages
     return {"dest": base, "iceberg_version": v,
             "expired_snapshots": len(expired),
             "retained_snapshots": len(retained),

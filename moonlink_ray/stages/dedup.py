@@ -840,7 +840,8 @@ def _drop_shard(drop_dir: str, shard: int) -> np.ndarray:
 def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
                              a_col: str = "a", b_col: str = "b",
                              scratch_dir: str | None = None,
-                             num_shards: int = _GB_BUCKETS):
+                             num_shards: int = _GB_BUCKETS,
+                             stale_drop_age_s: float = 3600.0):
     """Filter ``ds`` to the canonical survivor of every duplicate
     cluster implied by ``pairs_ds`` (plus all unclustered rows).
 
@@ -861,9 +862,15 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
     fragments live); the node-local tempdir default is only valid in
     single-node deployments. Each call writes into a fresh unique
     subdirectory, so reusing one ``scratch_dir`` across calls can
-    never mix stale drop shards into a later run."""
+    never mix stale drop shards into a later run — and prior calls'
+    subdirectories older than ``stale_drop_age_s`` are reaped on entry
+    (a persistent scratch_dir would otherwise grow one drop-set copy
+    per call forever; the age floor keeps a concurrent run's live
+    shards safe)."""
     import os
+    import shutil
     import tempfile
+    import time as _t
     import uuid
 
     cc = connected_components_ds(pairs_ds, a_col=a_col, b_col=b_col)
@@ -878,6 +885,14 @@ def drop_duplicates_by_pairs(ds, pairs_ds, *, id_col: str = "doc_id",
 
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="mlray-dropset-")
+    else:
+        now = _t.time()
+        for name in os.listdir(scratch_dir) \
+                if os.path.isdir(scratch_dir) else []:
+            p = os.path.join(scratch_dir, name)
+            if name.startswith("drops-") and os.path.isdir(p) and \
+                    now - os.path.getmtime(p) > stale_drop_age_s:
+                shutil.rmtree(p, ignore_errors=True)
     drop_dir = os.path.join(scratch_dir, f"drops-{uuid.uuid4().hex[:12]}")
     cc.map_batches(drops, batch_format="pyarrow") \
         .write_parquet(drop_dir, partition_cols=["shard"])

@@ -77,8 +77,6 @@ def _asof_join_tables(lt, rt, *, left_on: str, right_on: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    import pyarrow.compute as pc
-
     kl = np.asarray(lt[by_left].to_numpy(zero_copy_only=False))
     kr = np.asarray(rt[by_right].to_numpy(zero_copy_only=False))
     # null by-keys never match (pandas merge_asof semantics): factorize

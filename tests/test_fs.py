@@ -103,3 +103,26 @@ def test_chaos_merge_retries_to_identical_manifest(tmp_path):
             continue
     got = scan_arrow(chaotic_inner, sort_by="image_id")
     assert got.equals(want)
+
+
+def test_arrival_time_sees_hardlink_adoption(tmp_path):
+    """A hardlink-adopted file keeps the source's old mtime but its
+    ctime bumps at link time — arrival_time must report the link time,
+    or vacuum orphan-grace checks would sweep a just-adopted
+    uncommitted export file as 'old' (the mid-sync corruption the
+    grace exists to prevent)."""
+    import os
+    import time
+
+    from moonlink_ray.fs import for_root
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"x" * 128)
+    old = time.time() - 7200
+    os.utime(src, (old, old))                    # hours-old mtime
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    fs = for_root(str(dest))
+    fs.adopt_file(str(src), "part-x.parquet")
+    assert fs.mtime("part-x.parquet") < time.time() - 3600  # mtime old
+    at = fs.arrival_time("part-x.parquet")
+    assert at is not None and time.time() - at < 60  # ctime fresh
